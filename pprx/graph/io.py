@@ -1,0 +1,120 @@
+"""Edge-stream IO: text parsing, packing, synthetic generators.
+
+Reference counterpart (SURVEY.md §2.1 "Graph converter / loader"): a C++ tool
+parsing timestamped edge-list text, renumbering vertices, and emitting a
+binary CSR + stream array. Here: text/SNAP parsing with deterministic
+first-seen renumbering, a packed ``.npz`` format, and synthetic power-law
+stream generators standing in for the paper's datasets (wiki-Vote,
+soc-LiveJournal, Twitter-2010, Friendster), which are unreachable offline.
+
+A native C++ fast path for bulk text parsing lives in ``native/`` and is used
+automatically when its shared library has been built (see
+``pprx.graph.native_io``); this module is the always-available pure-Python
+path and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_edge_list(path: str, comments: str = "#%") -> tuple[np.ndarray, np.ndarray, int]:
+    """Parse a whitespace-separated edge-list text file.
+
+    Lines are ``src dst [timestamp ...]``; lines starting with any character
+    in ``comments`` are skipped. Vertices are renumbered densely by first
+    appearance (deterministic). If a third column exists, edges are sorted by
+    it (stable) to form the stream order; otherwise file order is stream
+    order.
+
+    Returns ``(src, dst, n)`` with int32 arrays in stream order.
+    """
+    srcs: list[int] = []
+    dsts: list[int] = []
+    ts: list[float] = []
+    has_ts = None
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line[0] in comments:
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            srcs.append(int(parts[0]))
+            dsts.append(int(parts[1]))
+            if has_ts is None:
+                has_ts = len(parts) >= 3
+            if has_ts:
+                ts.append(float(parts[2]) if len(parts) >= 3 else 0.0)
+    src = np.asarray(srcs, dtype=np.int64)
+    dst = np.asarray(dsts, dtype=np.int64)
+    if has_ts:
+        order = np.argsort(np.asarray(ts), kind="stable")
+        src, dst = src[order], dst[order]
+    return renumber(src, dst)
+
+
+def renumber(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Densely renumber vertex ids by first appearance in (src,dst) interleave."""
+    inter = np.empty(src.size * 2, dtype=np.int64)
+    inter[0::2] = src
+    inter[1::2] = dst
+    uniq, first_pos = np.unique(inter, return_index=True)
+    # Order unique ids by their first appearance for determinism.
+    uniq = uniq[np.argsort(first_pos, kind="stable")]
+    remap = {int(v): i for i, v in enumerate(uniq.tolist())}
+    lut_src = np.fromiter((remap[int(v)] for v in src), count=src.size, dtype=np.int32)
+    lut_dst = np.fromiter((remap[int(v)] for v in dst), count=dst.size, dtype=np.int32)
+    return lut_src, lut_dst, len(uniq)
+
+
+def save_packed(path: str, src: np.ndarray, dst: np.ndarray, n: int) -> None:
+    """Pack a renumbered edge stream to ``.npz`` (the build's binary format)."""
+    np.savez_compressed(
+        path,
+        src=np.asarray(src, dtype=np.int32),
+        dst=np.asarray(dst, dtype=np.int32),
+        n=np.int64(n),
+    )
+
+
+def load_packed(path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    z = np.load(path)
+    return z["src"], z["dst"], int(z["n"])
+
+
+def synthetic_powerlaw_stream(
+    n: int, m: int, seed: int = 0, exponent: float = 0.8
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Timestamped edge stream with power-law-skewed endpoints.
+
+    Endpoint popularity follows a Zipf-like distribution (rank^-exponent),
+    reproducing the degree skew that motivates the reference's load-balanced
+    expansion (SURVEY.md §2.1). Self-loops are filtered (redrawn edges may
+    remain as parallel edges, as in real streams).
+    """
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    probs = ranks ** (-exponent)
+    probs /= probs.sum()
+    perm = rng.permutation(n)
+    src = perm[rng.choice(n, size=m, p=probs)]
+    dst = perm[rng.choice(n, size=m, p=probs)]
+    bad = src == dst
+    while bad.any():
+        dst[bad] = perm[rng.choice(n, size=int(bad.sum()), p=probs)]
+        bad = src == dst
+    return src.astype(np.int32), dst.astype(np.int32), n
+
+
+def synthetic_erdos_stream(n: int, m: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """Uniform random edge stream (Erdos-Renyi-style, with parallel edges)."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    bad = src == dst
+    while bad.any():
+        dst[bad] = rng.integers(0, n, size=int(bad.sum()))
+        bad = src == dst
+    return src.astype(np.int32), dst.astype(np.int32), n
