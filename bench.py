@@ -25,11 +25,21 @@ import time
 import numpy as np
 
 
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/pprx-xla")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from pprx.config import PprConfig, StreamConfig
+    from pprx.graph.hybrid_stream import HybridStreamDriver
     from pprx.graph.io import synthetic_powerlaw_stream
     from pprx.graph.stream import StreamDriver
 
@@ -38,15 +48,21 @@ def main():
     b = int(os.environ.get("PPRX_BENCH_B", 20_000))
     s = int(os.environ.get("PPRX_BENCH_S", 16))
     steps = int(os.environ.get("PPRX_BENCH_STEPS", 20))
+    engine = os.environ.get("PPRX_BENCH_ENGINE", "hybrid")
     warmup = 2
 
     stream_len = w + (steps + warmup + 1) * b
     src, dst, _ = synthetic_powerlaw_stream(n, stream_len, seed=7)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     scfg = StreamConfig(window=w, slide=b)
-    drv = StreamDriver(
-        src, dst, n, list(range(s)), cfg, scfg, mode=0, dtype=jnp.float32
-    )
+    if engine == "hybrid":
+        drv = HybridStreamDriver(
+            src, dst, n, list(range(s)), cfg, scfg, mode=0, dtype=jnp.float32
+        )
+    else:
+        drv = StreamDriver(
+            src, dst, n, list(range(s)), cfg, scfg, mode=0, dtype=jnp.float32
+        )
     drv.seed()
     for _ in drv.run(warmup):
         pass

@@ -1,0 +1,250 @@
+"""Command-line entry points (SURVEY.md §2.1 "CLI binaries", L7).
+
+The reference ships one binary per variant (static/dynamic x fwd/rev x
+cpu/gpu); here one ``python -m pprx.cli`` with subcommands:
+
+  convert   edge-list text -> packed .npz stream (renumbered)
+  static    forward/reverse push on a static graph, report accuracy/timing
+  stream    sliding-window dynamic maintenance, JSONL per-step records
+  retrieve  multi-source batched top-k candidate generation
+  bench     the headline updates/s benchmark (same as bench.py)
+
+Common flags mirror the reference's: --alpha (0.15), --eps, --window,
+--slide, --mode fwd|rev.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: CLI invocations are separate
+    processes, and TPU compiles (especially via remote-compile tunnels) cost
+    tens of seconds. jax may already be imported (sitecustomize), so set the
+    config directly rather than relying on env vars."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/pprx-xla")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _add_common(p):
+    p.add_argument("--alpha", type=float, default=0.15)
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--max-rounds", type=int, default=10_000)
+    p.add_argument("--mode", choices=["fwd", "rev"], default="fwd")
+    p.add_argument("--queries", type=str, default="0", help="comma-separated query vertex ids")
+    p.add_argument("--f64", action="store_true", help="float64 state (CPU/testing)")
+
+
+def _load(args):
+    from pprx.graph.io import load_edge_list, load_packed
+
+    if args.graph.endswith(".npz"):
+        return load_packed(args.graph)
+    return load_edge_list(args.graph)
+
+
+def _cfg(args):
+    from pprx.config import PprConfig
+
+    return PprConfig(alpha=args.alpha, eps=args.eps, max_rounds=args.max_rounds)
+
+
+def _mode(args):
+    from pprx.engine.state import FORWARD, REVERSE
+
+    return FORWARD if args.mode == "fwd" else REVERSE
+
+
+def _dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.float64 if args.f64 else jnp.float32
+
+
+def cmd_convert(args):
+    from pprx.graph.io import load_edge_list, save_packed
+
+    src, dst, n = load_edge_list(args.graph)
+    save_packed(args.out, src, dst, n)
+    print(json.dumps({"n": n, "edges": int(src.shape[0]), "out": args.out}))
+
+
+def cmd_static(args):
+    import jax
+
+    from pprx.engine.push import push_to_convergence
+    from pprx.engine.state import init_state
+    from pprx.graph.dynamic import WindowGraph
+
+    src, dst, n = _load(args)
+    queries = [int(q) for q in args.queries.split(",")]
+    graph = WindowGraph.from_coo(src, dst, n)
+    state = init_state(n, queries, mode=_mode(args), dtype=_dtype(args))
+    t0 = time.perf_counter()
+    state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
+        state, graph, cfg=_cfg(args)
+    )
+    jax.block_until_ready(state.p)
+    wall = time.perf_counter() - t0
+    out = {
+        "n": n,
+        "edges": int(src.shape[0]),
+        "queries": queries,
+        "rounds": int(stats.rounds),
+        "pushes": float(stats.pushes),
+        "edge_pushes": float(stats.edge_pushes),
+        "wall_s": round(wall, 4),
+    }
+    if args.check_exact:
+        from pprx.engine.state import FORWARD
+        from pprx.eval.metrics import l1_error
+        from pprx.ref.exact import exact_ppr_matrix
+
+        M = exact_ppr_matrix(src, dst, n, args.alpha)
+        p = np.asarray(state.p)[:n]
+        errs = []
+        for j, q in enumerate(queries):
+            tgt = M[q] if _mode(args) == FORWARD else M[:, q]
+            errs.append(l1_error(p[:, j], tgt))
+        out["l1_error"] = errs
+        out["l1_bound"] = args.eps * src.shape[0]
+    print(json.dumps(out))
+
+
+def cmd_stream(args):
+    from pprx.config import StreamConfig
+    from pprx.eval.perf import summarize
+    from pprx.graph.stream import StreamDriver
+    from pprx.logging import JsonlLogger
+
+    src, dst, n = _load(args)
+    queries = [int(q) for q in args.queries.split(",")]
+    scfg = StreamConfig(window=args.window, slide=args.slide)
+    drv = StreamDriver(
+        src, dst, n, queries, _cfg(args), scfg, mode=_mode(args), dtype=_dtype(args)
+    )
+    with JsonlLogger(args.log) as log:
+        seed_stats = drv.seed()
+        log.log("seed", rounds=int(seed_stats.rounds), pushes=float(seed_stats.pushes))
+        t0 = time.perf_counter()
+        stats_list = []
+        for i, s in enumerate(drv.run(args.steps)):
+            stats_list.append(s)
+            log.log(
+                "slide",
+                step=i,
+                rounds=int(s.rounds),
+                pushes=float(s.pushes),
+                edge_pushes=float(s.edge_pushes),
+            )
+            if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+                from pprx.io.checkpoint import save_checkpoint
+
+                save_checkpoint(args.checkpoint, drv)
+                log.log("checkpoint", step=i, path=args.checkpoint)
+        wall = time.perf_counter() - t0
+        rep = summarize(stats_list, wall, edges_per_step=2 * args.slide)
+        log.log("summary", **rep.as_dict())
+    print(json.dumps(rep.as_dict()))
+
+
+def cmd_retrieve(args):
+    import jax
+
+    from pprx.engine.push import push_to_convergence
+    from pprx.engine.state import init_state
+    from pprx.graph.dynamic import WindowGraph
+    from pprx.retrieve.topk import topk_candidates
+
+    src, dst, n = _load(args)
+    rng = np.random.default_rng(0)
+    if args.queries == "random":
+        queries = rng.integers(0, n, size=args.batch).tolist()
+    else:
+        queries = [int(q) for q in args.queries.split(",")]
+    graph = WindowGraph.from_coo(src, dst, n)
+    state = init_state(n, queries, mode=0, dtype=_dtype(args))
+    state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
+        state, graph, cfg=_cfg(args)
+    )
+    t0 = time.perf_counter()
+    scores, ids = topk_candidates(state.p, k=args.k, exact=not args.approx)
+    jax.block_until_ready(ids)
+    retr_ms = (time.perf_counter() - t0) * 1e3
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "batch": len(queries),
+                "k": args.k,
+                "push_rounds": int(stats.rounds),
+                "retrieval_ms": round(retr_ms, 3),
+                "top1": [int(i) for i in np.asarray(ids[:, 0])[: min(8, len(queries))]],
+            }
+        )
+    )
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pprx", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("convert", help="edge-list text -> packed npz")
+    p.add_argument("graph")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("static", help="static push query")
+    p.add_argument("graph")
+    _add_common(p)
+    p.add_argument("--check-exact", action="store_true")
+    p.set_defaults(fn=cmd_static)
+
+    p = sub.add_parser("stream", help="sliding-window dynamic maintenance")
+    p.add_argument("graph")
+    _add_common(p)
+    p.add_argument("--window", type=int, required=True)
+    p.add_argument("--slide", type=int, required=True)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--log", type=str, default=None, help="JSONL log path (default stdout)")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("retrieve", help="multi-source top-k candidates")
+    p.add_argument("graph")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--approx", action="store_true", help="approx_max_k head")
+    p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser("bench", help="headline updates/s benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    _enable_compile_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,14 @@ def push_round(
     Returns (new_state, n_active_pairs, n_edge_pushes).
     """
     act = _active_mask(state, graph, cfg)
+    return push_round_given_act(state, act, graph, cfg)
+
+
+def push_round_given_act(
+    state: PprState, act: jnp.ndarray, graph: WindowGraph, cfg: PprConfig
+) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
+    """Dense round with the activity mask supplied by the caller (lets the
+    adaptive dense/sparse switch compute it exactly once per round)."""
     dtype = state.r.dtype
     alpha = jnp.asarray(cfg.alpha, dtype)
     mass = jnp.where(act, state.r, jnp.zeros((), dtype))  # [N+1,S]

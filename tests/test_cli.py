@@ -1,0 +1,75 @@
+"""CLI surface tests (SURVEY.md §2.1 CLI binaries): each subcommand runs end
+to end and emits parseable JSON."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pprx import cli
+from pprx.graph.io import synthetic_powerlaw_stream
+
+
+@pytest.fixture
+def graph_npz(tmp_path):
+    from pprx.graph.io import save_packed
+
+    src, dst, n = synthetic_powerlaw_stream(50, 600, seed=1)
+    path = str(tmp_path / "g.npz")
+    save_packed(path, src, dst, n)
+    return path
+
+
+def run_cli(capsys, argv):
+    cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_convert(tmp_path, capsys):
+    txt = tmp_path / "g.txt"
+    txt.write_text("# c\n1 2\n2 3\n3 1\n")
+    out = run_cli(capsys, ["convert", str(txt), str(tmp_path / "g.npz")])
+    assert out["n"] == 3 and out["edges"] == 3
+
+
+def test_static_check_exact(graph_npz, capsys):
+    out = run_cli(
+        capsys,
+        ["static", graph_npz, "--queries", "0,3", "--eps", "1e-7", "--f64", "--check-exact"],
+    )
+    assert out["rounds"] > 0
+    assert all(e < out["l1_bound"] for e in out["l1_error"])
+
+
+def test_static_reverse(graph_npz, capsys):
+    out = run_cli(capsys, ["static", graph_npz, "--mode", "rev", "--f64", "--check-exact"])
+    assert all(e < out["l1_bound"] for e in out["l1_error"])
+
+
+def test_stream_with_checkpoint(graph_npz, tmp_path, capsys):
+    log = str(tmp_path / "log.jsonl")
+    ck = str(tmp_path / "ck.npz")
+    out = run_cli(
+        capsys,
+        [
+            "stream", graph_npz, "--window", "300", "--slide", "30",
+            "--steps", "5", "--log", log, "--checkpoint", ck,
+            "--checkpoint-every", "2", "--f64",
+        ],
+    )
+    assert out["steps"] == 5
+    assert out["updates_per_sec"] > 0
+    events = [json.loads(l) for l in open(log)]
+    assert [e["event"] for e in events][:2] == ["seed", "slide"]
+    assert any(e["event"] == "checkpoint" for e in events)
+    assert events[-1]["event"] == "summary"
+
+
+def test_retrieve(graph_npz, capsys):
+    out = run_cli(
+        capsys,
+        ["retrieve", graph_npz, "--queries", "random", "--batch", "16", "--k", "10", "--f64"],
+    )
+    assert out["batch"] == 16 and out["k"] == 10
+    assert out["retrieval_ms"] > 0
