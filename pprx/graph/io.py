@@ -18,7 +18,9 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_edge_list(path: str, comments: str = "#%") -> tuple[np.ndarray, np.ndarray, int]:
+def load_edge_list(
+    path: str, comments: str = "#%", use_native: bool | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Parse a whitespace-separated edge-list text file.
 
     Lines are ``src dst [timestamp ...]``; lines starting with any character
@@ -27,12 +29,26 @@ def load_edge_list(path: str, comments: str = "#%") -> tuple[np.ndarray, np.ndar
     it (stable) to form the stream order; otherwise file order is stream
     order.
 
+    ``use_native=None`` auto-selects the C++ parser (native/edgeio.cpp) when
+    its library is built; True forces it; False forces pure Python.
+
     Returns ``(src, dst, n)`` with int32 arrays in stream order.
     """
+    if use_native is not False:
+        from pprx.graph import native_io
+
+        if native_io.AVAILABLE:
+            src, dst, ts, has_ts = native_io.parse_edgelist_raw(path)
+            if has_ts:
+                order = np.argsort(ts, kind="stable")
+                src, dst = src[order], dst[order]
+            return renumber(src, dst)
+        if use_native:
+            raise RuntimeError("native edge IO requested but not built (make -C native)")
     srcs: list[int] = []
     dsts: list[int] = []
     ts: list[float] = []
-    has_ts = None
+    has_ts = False
     with open(path, "r") as f:
         for line in f:
             line = line.strip()
@@ -41,12 +57,20 @@ def load_edge_list(path: str, comments: str = "#%") -> tuple[np.ndarray, np.ndar
             parts = line.split()
             if len(parts) < 2:
                 continue
-            srcs.append(int(parts[0]))
-            dsts.append(int(parts[1]))
-            if has_ts is None:
-                has_ts = len(parts) >= 3
-            if has_ts:
-                ts.append(float(parts[2]) if len(parts) >= 3 else 0.0)
+            try:
+                s, d = int(parts[0]), int(parts[1])
+            except ValueError:
+                continue  # malformed line (same policy as the native parser)
+            t = 0.0
+            if len(parts) >= 3:
+                try:
+                    t = float(parts[2])
+                    has_ts = True
+                except ValueError:
+                    pass
+            srcs.append(s)
+            dsts.append(d)
+            ts.append(t)
     src = np.asarray(srcs, dtype=np.int64)
     dst = np.asarray(dsts, dtype=np.int64)
     if has_ts:
@@ -60,13 +84,13 @@ def renumber(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray, 
     inter = np.empty(src.size * 2, dtype=np.int64)
     inter[0::2] = src
     inter[1::2] = dst
-    uniq, first_pos = np.unique(inter, return_index=True)
-    # Order unique ids by their first appearance for determinism.
-    uniq = uniq[np.argsort(first_pos, kind="stable")]
-    remap = {int(v): i for i, v in enumerate(uniq.tolist())}
-    lut_src = np.fromiter((remap[int(v)] for v in src), count=src.size, dtype=np.int32)
-    lut_dst = np.fromiter((remap[int(v)] for v in dst), count=dst.size, dtype=np.int32)
-    return lut_src, lut_dst, len(uniq)
+    uniq, first_pos, inverse = np.unique(inter, return_index=True, return_inverse=True)
+    # rank unique ids by first appearance for determinism (fully vectorized)
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty(order.size, dtype=np.int32)
+    rank[order] = np.arange(order.size, dtype=np.int32)
+    mapped = rank[inverse]
+    return mapped[0::2].copy(), mapped[1::2].copy(), int(uniq.size)
 
 
 def save_packed(path: str, src: np.ndarray, dst: np.ndarray, n: int) -> None:
