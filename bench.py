@@ -63,14 +63,16 @@ def main():
         drv = StreamDriver(
             src, dst, n, list(range(s)), cfg, scfg, mode=0, dtype=jnp.float32
         )
+    from pprx.eval.sync import hard_sync
+
     drv.seed()
     for _ in drv.run(warmup):
         pass
-    jax.block_until_ready(drv.state.r)
+    hard_sync(drv.state.r)
 
     t0 = time.perf_counter()
     stats = list(drv.run(steps))
-    jax.block_until_ready(drv.state.r)
+    hard_sync(drv.state.r)
     wall = time.perf_counter() - t0
 
     updates = 2 * b * len(stats)

@@ -97,7 +97,9 @@ def cmd_static(args):
     state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
         state, graph, cfg=_cfg(args)
     )
-    jax.block_until_ready(state.p)
+    from pprx.eval.sync import hard_sync
+
+    hard_sync(state.p)
     wall = time.perf_counter() - t0
     out = {
         "n": n,
@@ -127,13 +129,15 @@ def cmd_static(args):
 def cmd_stream(args):
     from pprx.config import StreamConfig
     from pprx.eval.perf import summarize
+    from pprx.graph.hybrid_stream import HybridStreamDriver
     from pprx.graph.stream import StreamDriver
     from pprx.logging import JsonlLogger
 
     src, dst, n = _load(args)
     queries = [int(q) for q in args.queries.split(",")]
     scfg = StreamConfig(window=args.window, slide=args.slide)
-    drv = StreamDriver(
+    ctor = HybridStreamDriver if args.engine == "hybrid" else StreamDriver
+    drv = ctor(
         src, dst, n, queries, _cfg(args), scfg, mode=_mode(args), dtype=_dtype(args)
     )
     with JsonlLogger(args.log) as log:
@@ -182,7 +186,9 @@ def cmd_retrieve(args):
     )
     t0 = time.perf_counter()
     scores, ids = topk_candidates(state.p, k=args.k, exact=not args.approx)
-    jax.block_until_ready(ids)
+    from pprx.eval.sync import hard_sync
+
+    hard_sync(ids)
     retr_ms = (time.perf_counter() - t0) * 1e3
     print(
         json.dumps(
@@ -199,6 +205,11 @@ def cmd_retrieve(args):
 
 
 def cmd_bench(args):
+    if args.config:
+        from pprx.bench.run import run_config
+
+        print(json.dumps(run_config(args.config)))
+        return
     import bench
 
     bench.main()
@@ -224,6 +235,12 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--window", type=int, required=True)
     p.add_argument("--slide", type=int, required=True)
+    p.add_argument(
+        "--engine",
+        choices=["hybrid", "dense"],
+        default="hybrid",
+        help="hybrid = sparse-frontier rounds with dense fallback (default)",
+    )
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--log", type=str, default=None, help="JSONL log path (default stdout)")
     p.add_argument("--checkpoint", type=str, default=None)
@@ -239,6 +256,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_retrieve)
 
     p = sub.add_parser("bench", help="headline updates/s benchmark")
+    p.add_argument(
+        "--config",
+        type=int,
+        choices=[1, 2, 3, 4, 5],
+        default=0,
+        help="run one of the five [BASELINE] milestone configs instead",
+    )
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

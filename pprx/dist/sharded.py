@@ -123,13 +123,22 @@ class ShardedEngine:
         cfg: PprConfig,
         mode: int = FORWARD,
         dtype=jnp.float32,
+        exchange: str = "dense_rs",
+        ccap: int = 1024,
     ):
+        """exchange: 'dense_rs' (reduce-scatter of the dense delta — exact,
+        O(N_pad*S) traffic/round) or 'a2a' (bucketed all-to-all of the
+        nonzero (dst, mass) rows — O(frontier) traffic; rows beyond the
+        per-shard-pair bucket capacity ``ccap`` stay in a local carry buffer
+        and ship next round, SURVEY.md §5 'overflow -> extra round')."""
         self.mesh = mesh
         self.n = n
         self.n_rows = mesh.shape["rows"]
         self.n_srcs = mesh.shape["srcs"]
         if s_total % self.n_srcs != 0:
             raise ValueError(f"s_total {s_total} not divisible by srcs axis {self.n_srcs}")
+        if exchange not in ("dense_rs", "a2a"):
+            raise ValueError(f"unknown exchange mode {exchange!r}")
         self.s_total = s_total
         self.n_local = math.ceil((n + 1) / self.n_rows)
         self.n_pad = self.n_local * self.n_rows
@@ -140,6 +149,8 @@ class ShardedEngine:
         self.cfg = cfg
         self.mode = mode
         self.dtype = dtype
+        self.exchange = exchange
+        self.ccap = min(ccap, self.n_local)
 
         self.state_spec = P("rows", "srcs")
         self.row_spec = P("rows")
@@ -165,7 +176,50 @@ class ShardedEngine:
             dangling = (deg == 0)[:, None]
             evaf = eva.astype(dtype)[:, None]
 
-            def round_(p, r):
+            n_rows = self.n_rows
+            n_local = self.n_local
+            ccap = self.ccap
+
+            def exchange_dense_rs(acc, carry):
+                delta = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
+                return delta, carry
+
+            def exchange_a2a(acc, carry):
+                """Ship only nonzero (dst_local, mass[S]) rows per shard pair,
+                padded to ccap; rows beyond capacity wait in ``carry``."""
+                s_loc = acc.shape[1]
+                blocks = (acc + carry).reshape(n_rows, n_local, s_loc)
+                rownz = jnp.abs(blocks).sum(axis=2) > 0  # [n_rows, N_local]
+                ids = jax.vmap(
+                    lambda m: jnp.nonzero(m, size=ccap, fill_value=0)[0].astype(jnp.int32)
+                )(rownz)  # [n_rows, ccap]
+                valid = jnp.take_along_axis(rownz, ids, axis=1)  # padding id 0 may
+                # be a genuinely nonzero row only if it was ALSO selected first,
+                # in which case nonzero() listed it at most once; re-derive
+                # validity positionally instead to dodge the id-0 ambiguity:
+                n_nz = jnp.sum(rownz, axis=1)  # [n_rows]
+                pos = jax.lax.broadcasted_iota(jnp.int32, (n_rows, ccap), 1)
+                valid = pos < n_nz[:, None]
+                masses = jnp.take_along_axis(blocks, ids[:, :, None], axis=1)
+                masses = masses * valid[:, :, None].astype(dtype)
+                sent = jnp.zeros((n_rows, n_local), dtype).at[
+                    jax.lax.broadcasted_iota(jnp.int32, (n_rows, ccap), 0), ids
+                ].max(valid.astype(dtype))
+                carry2 = (blocks * (1.0 - sent[:, :, None])).reshape(n_pad, s_loc)
+                recv_ids = jax.lax.all_to_all(
+                    ids, "rows", split_axis=0, concat_axis=0, tiled=True
+                )
+                recv_mass = jax.lax.all_to_all(
+                    masses, "rows", split_axis=0, concat_axis=0, tiled=True
+                )
+                delta = (
+                    jnp.zeros((n_local, s_loc), dtype)
+                    .at[recv_ids.reshape(-1)]
+                    .add(recv_mass.reshape(-1, s_loc))
+                )
+                return delta, carry2
+
+            def round_(p, r, carry):
                 act = active(r)
                 mass = jnp.where(act, r, jnp.zeros((), dtype))
                 p2 = p + jnp.where(dangling, mass, alpha * mass)
@@ -177,7 +231,10 @@ class ShardedEngine:
                     moving = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
                 contrib = moving[egl] * evaf
                 acc = jnp.zeros((n_pad, mass.shape[1]), dtype).at[eog].add(contrib)
-                delta = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
+                if self.exchange == "a2a":
+                    delta, carry2 = exchange_a2a(acc, carry)
+                else:
+                    delta, carry2 = exchange_dense_rs(acc, carry)
                 if self.mode == FORWARD:
                     r2 = r2 + delta
                 else:
@@ -185,26 +242,31 @@ class ShardedEngine:
                 ep = jax.lax.psum(
                     jnp.sum(act[egl] * evaf, dtype=jnp.float32), ("rows", "srcs")
                 )
+                pending = jax.lax.psum(
+                    jnp.sum(jnp.abs(carry2), dtype=jnp.float32), ("rows", "srcs")
+                )
                 na = jax.lax.psum(jnp.sum(act, dtype=jnp.float32), ("rows", "srcs"))
-                return p2, r2, na, ep
+                work = na + (pending > 0)  # pending carry forces another round
+                return p2, r2, carry2, na, work, ep
 
             def cond(c):
-                _, _, na, rounds, _, _ = c
-                return jnp.logical_and(na > 0, rounds < cfg_.max_rounds)
+                _, _, _, work, rounds, _, _ = c
+                return jnp.logical_and(work > 0, rounds < cfg_.max_rounds)
 
             def body(c):
-                p, r, _, rounds, pushes, epushes = c
-                p2, r2, na, ep = round_(p, r)
-                return p2, r2, na, rounds + 1, pushes + na, epushes + ep
+                p, r, carry, _, rounds, pushes, epushes = c
+                p2, r2, carry2, na, work, ep = round_(p, r, carry)
+                return p2, r2, carry2, work, rounds + 1, pushes + na, epushes + ep
 
             na0 = jax.lax.psum(jnp.sum(active(r), dtype=jnp.float32), ("rows", "srcs"))
+            carry0 = jnp.zeros((n_pad, p.shape[1]), dtype)
             init = (
-                p, r, na0,
+                p, r, carry0, na0,
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.float32),
             )
-            p, r, _, rounds, pushes, epushes = jax.lax.while_loop(cond, body, init)
+            p, r, _, _, rounds, pushes, epushes = jax.lax.while_loop(cond, body, init)
             return p, r, rounds, pushes, epushes
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -19,12 +19,19 @@ from pprx.config import PprConfig, StreamConfig
 from pprx.graph.stream import StreamDriver
 
 
-def save_checkpoint(path: str, drv: StreamDriver) -> None:
+def save_checkpoint(path: str, drv) -> None:
+    """Works for both StreamDriver and HybridStreamDriver: the persisted
+    state is the COO window + degrees + p/r (the snapshot/overlay are
+    derived data, rebuilt on resume)."""
+    from pprx.engine.sparse import HybridGraph
+
+    graph = drv.graph.window if isinstance(drv.graph, HybridGraph) else drv.graph
     meta = {
         "n": drv.n,
         "head": drv.head,
         "step_idx": drv.step_idx,
         "mode": drv.mode,
+        "engine": "hybrid" if isinstance(drv.graph, HybridGraph) else "dense",
         "cfg": dataclasses.asdict(drv.cfg),
         "scfg": dataclasses.asdict(drv.scfg),
     }
@@ -33,9 +40,9 @@ def save_checkpoint(path: str, drv: StreamDriver) -> None:
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         p=np.asarray(drv.state.p),
         r=np.asarray(drv.state.r),
-        src=np.asarray(drv.graph.src),
-        dst=np.asarray(drv.graph.dst),
-        deg=np.asarray(drv.graph.deg),
+        src=np.asarray(graph.src),
+        dst=np.asarray(graph.dst),
+        deg=np.asarray(graph.deg),
     )
 
 
@@ -46,21 +53,36 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
     meta = json.loads(bytes(z["meta"]).decode())
     cfg = PprConfig(**meta["cfg"])
     scfg = StreamConfig(**meta["scfg"])
-    p = z["p"]
-    drv = StreamDriver.__new__(StreamDriver)
+    from pprx.engine.state import PprState
+    from pprx.graph.dynamic import WindowGraph
+
+    state = PprState(p=jnp.asarray(z["p"]), r=jnp.asarray(z["r"]), mode=meta["mode"])
+    window = WindowGraph(
+        src=jnp.asarray(z["src"]), dst=jnp.asarray(z["dst"]), deg=jnp.asarray(z["deg"])
+    )
+    if meta.get("engine") == "hybrid":
+        from pprx.engine.sparse import HybridGraph
+        from pprx.graph.hybrid_stream import HybridStreamDriver
+
+        drv = HybridStreamDriver.__new__(HybridStreamDriver)
+        rebuild_every = 16
+        drv.graph = HybridGraph.build(
+            window, meta["mode"], overlay_cap=2 * scfg.slide * rebuild_every
+        )
+        drv.rebuild_every = rebuild_every
+        drv.ov_count = 0
+        drv.fcap = meta["n"] + 1
+        drv.ecap = min(max(4 * scfg.slide, 16_384), scfg.window)
+    else:
+        drv = StreamDriver.__new__(StreamDriver)
+        drv.graph = window
     drv.stream_src = np.asarray(stream_src, dtype=np.int32)
     drv.stream_dst = np.asarray(stream_dst, dtype=np.int32)
     drv.n = meta["n"]
     drv.cfg = cfg
     drv.scfg = scfg
     drv.mode = meta["mode"]
-    from pprx.engine.state import PprState
-    from pprx.graph.dynamic import WindowGraph
-
-    drv.state = PprState(p=jnp.asarray(p), r=jnp.asarray(z["r"]), mode=meta["mode"])
-    drv.graph = WindowGraph(
-        src=jnp.asarray(z["src"]), dst=jnp.asarray(z["dst"]), deg=jnp.asarray(z["deg"])
-    )
+    drv.state = state
     drv.head = meta["head"]
     drv.step_idx = meta["step_idx"]
     return drv

@@ -88,3 +88,42 @@ def test_sharded_slide_matches_single_device(mode):
     lo = drv.head - scfg.window
     expect = np.bincount(src[lo : drv.head], minlength=n).astype(np.int32)
     np.testing.assert_array_equal(drv.host_deg()[:n], expect)
+
+
+@pytest.mark.parametrize("mode", [FORWARD, REVERSE])
+@pytest.mark.parametrize("ccap", [1024, 6])  # ccap=6 forces overflow-carry rounds
+def test_a2a_exchange_matches_dense_rs(mode, ccap):
+    """Bucketed all-to-all frontier exchange vs reduce-scatter vs single
+    device. Without overflow (ccap >= N_local) the round schedule and states
+    are identical; with a tiny bucket capacity the overflow->carry path
+    reorders deliveries (mass waits in the outbox), so the converged state
+    is compared against the accuracy bound instead of bitwise."""
+    rng = np.random.default_rng(4)
+    n, m = 40, 200
+    src, dst = random_multigraph(rng, n, m)
+    queries = [0, 9, 21, 33]
+    mesh = make_row_mesh(4, 1)
+
+    eng_rs = ShardedEngine(mesh, n, len(queries), ecap=m, bcap=8, cfg=CFG, mode=mode, dtype=jnp.float64)
+    eng_a2a = ShardedEngine(
+        mesh, n, len(queries), ecap=m, bcap=8, cfg=CFG, mode=mode,
+        dtype=jnp.float64, exchange="a2a", ccap=ccap,
+    )
+    p1, r1 = eng_rs.init_state(queries)
+    deg, egl, eog, eva, _ = eng_rs.device_graph(src, dst)
+    p1, r1, rounds1, pushes1, _ = eng_rs.push(p1, r1, deg, egl, eog, eva)
+
+    p2, r2 = eng_a2a.init_state(queries)
+    deg2, egl2, eog2, eva2, _ = eng_a2a.device_graph(src, dst)
+    p2, r2, rounds2, pushes2, _ = eng_a2a.push(p2, r2, deg2, egl2, eog2, eva2)
+
+    assert int(rounds2) < CFG.max_rounds, "a2a failed to converge"
+    if ccap >= eng_a2a.n_local:  # no overflow: identical schedule and state
+        assert int(rounds2) == int(rounds1)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-12)
+    else:  # overflow: extra delivery rounds; state converged to the bound
+        assert int(rounds2) > int(rounds1)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=m * CFG.eps)
+    p_ref, r_ref, _ = single_device_reference(src, dst, n, queries, mode)
+    np.testing.assert_allclose(np.asarray(p2)[:n], p_ref, atol=m * CFG.eps)
