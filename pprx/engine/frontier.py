@@ -10,9 +10,9 @@ threads). The TPU equivalents:
 - load balancing: EDGE-BALANCED expansion — instead of one work item per
   frontier vertex (which a power-law row would skew), the round enumerates
   frontier EDGES 0..total-1 directly and maps each back to its source row
-  with a vectorized ``searchsorted`` over the cumulative row lengths. Every
-  lane does identical work regardless of degree skew; this is the TPU-native
-  answer to warp/CTA row splitting (no threads to balance, only lanes).
+  with a scatter-of-row-starts + cumsum (a vectorized run-length decode).
+  Every lane does identical work regardless of degree skew; this is the
+  TPU-native answer to warp/CTA row splitting (no threads to balance).
 - CSR snapshot + signed COO overlay: the sliding window mutates every step,
   but sorting 2M edges per step would dominate. The sparse path expands
   over a periodically rebuilt CSR snapshot and corrects with a small signed
@@ -47,13 +47,17 @@ class CsrSnapshot:
 def build_snapshot(key: jnp.ndarray, other: jnp.ndarray, n: int) -> CsrSnapshot:
     """Jittable CSR build by sorting the COO window. ``key`` is the gather
     endpoint (src for forward mode, dst for reverse); phantom entries
-    (key == n) sort to the tail and land in the phantom row."""
+    (key == n) sort to the tail and land in the phantom row.
+
+    Offsets come from a bincount + cumsum, not jnp.searchsorted (which
+    lowers to a per-lane binary-search while-loop on TPU)."""
     order = jnp.argsort(key)
-    skey = key[order]
     snbr = other[order]
-    offsets = jnp.searchsorted(skey, jnp.arange(n + 2, dtype=key.dtype)).astype(jnp.int32)
-    row_len = jnp.diff(offsets)
-    return CsrSnapshot(offsets=offsets, nbr=snbr, row_len=row_len)
+    counts = jnp.zeros(n + 1, jnp.int32).at[key].add(1)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return CsrSnapshot(offsets=offsets, nbr=snbr, row_len=counts)
 
 
 @struct.dataclass
@@ -105,11 +109,19 @@ def expand(
     starts = snap.offsets[fidx]
     cum = jnp.cumsum(row_len_f)
     total = cum[-1]
+    cum_prev = cum - row_len_f  # exclusive prefix: first edge lane of each row
+    # Edge-lane -> frontier-row mapping via scatter + cumsum, NOT
+    # jnp.searchsorted: searchsorted lowers to a per-lane binary-search
+    # while-loop on TPU (measured as the single hottest op in the engine).
+    # Each row scatters +1 at its first lane; empty rows stack their +1 on
+    # the next row's start, which makes the running count skip them exactly.
     j = jnp.arange(ecap, dtype=jnp.int32)
-    t = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    t_c = jnp.minimum(t, fidx.shape[0] - 1)
-    prev = jnp.where(t_c > 0, cum[jnp.maximum(t_c - 1, 0)], 0)
-    pos = starts[t_c] + (j - prev)
+    boundary = jnp.zeros(ecap + 1, jnp.int32).at[
+        jnp.minimum(cum_prev, ecap)
+    ].add(jnp.ones_like(cum_prev, jnp.int32))
+    t = (jnp.cumsum(boundary[:ecap]) - 1).astype(jnp.int32)
+    t_c = jnp.clip(t, 0, fidx.shape[0] - 1)
+    pos = starts[t_c] + (j - cum_prev[t_c])
     valid = j < total
     pos = jnp.where(valid, pos, 0)
     nbr = jnp.where(valid, snap.nbr[pos], snap.row_len.shape[0] - 1)

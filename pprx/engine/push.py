@@ -109,6 +109,7 @@ def push_to_convergence(
             rounds=stats.rounds + 1,
             pushes=stats.pushes + n_active,
             edge_pushes=stats.edge_pushes + edge_pushes,
+            wl_rounds=stats.wl_rounds,
         )
         return st2, stats2, n_active
 

@@ -166,7 +166,10 @@ def adaptive_round(
         dtype=jnp.int32,
     )
     ov_n = graph.ov.src.shape[0]
-    fits = jnp.logical_and(n_front <= fcap, fedges + ov_n <= ecap)
+    # fits: the expansion buffer must hold the frontier's snapshot edges
+    # (the overlay sweep has its own fixed-size buffers and does not consume
+    # expansion capacity)
+    fits = jnp.logical_and(n_front <= fcap, fedges <= ecap)
     # worth it: frontier edge work (+overlay) below half the dense edge work
     worth = (fedges + ov_n) * 2 <= graph.window.capacity
     use_sparse = jnp.logical_and(fits, worth)
@@ -178,6 +181,268 @@ def adaptive_round(
         return push_round_given_act(st, act_, graph.window, cfg)
 
     return jax.lax.cond(use_sparse, sp, dn, state, act)
+
+
+def _dedup_compact(ids: jnp.ndarray, cap: int, phantom: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted dedup of a padded id list -> (unique ids padded to cap, count).
+
+    Phantom entries sort last and are excluded from the count. Returns
+    count > cap unchanged (caller must treat that as overflow; the returned
+    list is then truncated and MUST NOT be used)."""
+    s = jnp.sort(ids)
+    first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    keep = jnp.logical_and(first, s != phantom)
+    count = jnp.sum(keep, dtype=jnp.int32)
+    (pos,) = jnp.nonzero(keep, size=cap, fill_value=ids.shape[0] - 1)
+    out = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) < jnp.minimum(count, cap),
+        s[pos],
+        phantom,
+    )
+    return out.astype(jnp.int32), count
+
+
+def worklist_round(
+    state: PprState,
+    graph: HybridGraph,
+    cfg: PprConfig,
+    cand: jnp.ndarray,
+    fcap: int,
+    ecap: int,
+    ovacap: int = 0,
+) -> tuple[PprState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One push round touching ONLY candidate rows — zero O(N) work.
+
+    ``cand``: int32[wcap] DEDUPLICATED candidate rows (phantom-padded), a
+    superset of every currently-active row (the caller maintains this
+    inductively: after a round, newly active rows are necessarily scatter
+    targets of that round). This is the TPU shape of the reference's
+    frontier work-queue (SURVEY.md §2.1 "Frontier compaction"): the queue
+    lives across rounds, and each round's cost is proportional to the
+    frontier, not to N.
+
+    Returns (state', next_cand, next_count, n_active, edge_work, fedges):
+    caller must verify next_count <= wcap and fedges <= ecap BEFORE trusting
+    next_cand / r (overflow -> rerun this round via the scan path).
+    """
+    dtype = state.r.dtype
+    alpha = jnp.asarray(cfg.alpha, dtype)
+    n = graph.n
+    deg = graph.window.deg
+    wcap = cand.shape[0]
+
+    r_c = state.r[cand]  # [wcap, S]
+    deg_c = deg[cand]
+    if state.mode == FORWARD:
+        th = cfg.eps * jnp.maximum(deg_c, 1).astype(dtype)
+        act_c = jnp.abs(r_c) > th[:, None]
+    else:
+        act_c = jnp.abs(r_c) > jnp.asarray(cfg.eps, dtype)
+    any_c = jnp.any(act_c, axis=1)
+    n_active = jnp.sum(act_c, dtype=jnp.float32)
+
+    # compact the active subset (cand is deduped, so fidx rows are unique)
+    (fpos,) = jnp.nonzero(any_c, size=fcap, fill_value=wcap - 1)
+    in_range = jax.lax.broadcasted_iota(jnp.int32, (fcap,), 0) < jnp.sum(
+        any_c, dtype=jnp.int32
+    )
+    fidx = jnp.where(in_range, cand[fpos], n).astype(jnp.int32)
+
+    dangling = deg == 0
+    inv_deg = 1.0 / jnp.maximum(deg, 1).astype(dtype)
+    r_orig = state.r
+    act_f = jnp.where(in_range[:, None], act_c[fpos], False)
+    mass_f = jnp.where(act_f, r_orig[fidx], jnp.zeros((), dtype))
+    dang_f = dangling[fidx][:, None]
+    p = state.p.at[fidx].add(jnp.where(dang_f, mass_f, alpha * mass_f))
+    r = state.r.at[fidx].add(-mass_f)
+
+    if state.mode == FORWARD:
+        moving_f = (1.0 - alpha) * mass_f * inv_deg[fidx][:, None]
+    else:
+        beta = (1.0 - alpha) / alpha
+        moving_f = jnp.where(dang_f, beta * mass_f, (1.0 - alpha) * mass_f)
+
+    t, nbr, valid, fedges = expand(fidx, graph.snap, ecap)
+    contrib = moving_f[t] * valid.astype(dtype)[:, None]
+
+    ov = graph.ov
+    gat_full = ov.src if state.mode == FORWARD else ov.dst
+    sca_full = ov.dst if state.mode == FORWARD else ov.src
+    # Overlay sweep restricted to LIVE entries: only overlay edges whose
+    # gather endpoint is in this round's frontier move mass, and the full
+    # overlay capacity is typically >> the handful of live entries — the
+    # unrestricted [ovcap, S] gather was the dominant per-round cost
+    # (PERFORMANCE.md). 1-D mark/compact over ovcap is cheap.
+    ova = ovacap if ovacap > 0 else gat_full.shape[0]
+    fmark = jnp.zeros(n + 1, jnp.int8).at[fidx].set(1).at[n].set(0)
+    live = jnp.logical_and(fmark[gat_full] > 0, ov.sign != 0)
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    (opos,) = jnp.nonzero(live, size=ova, fill_value=0)
+    ovalid = jax.lax.broadcasted_iota(jnp.int32, (ova,), 0) < n_live
+    gat = jnp.where(ovalid, gat_full[opos], n)
+    sca = jnp.where(ovalid, sca_full[opos], n)
+    sign_c = jnp.where(ovalid, ov.sign[opos], 0)
+    if state.mode == FORWARD:
+        th_ov = cfg.eps * jnp.maximum(deg[gat], 1).astype(dtype)
+        act_ov = jnp.abs(r_orig[gat]) > th_ov[:, None]
+        mass_ov = jnp.where(act_ov, r_orig[gat], jnp.zeros((), dtype))
+        mov_ov = (1.0 - alpha) * mass_ov * inv_deg[gat][:, None]
+    else:
+        act_ov = jnp.abs(r_orig[gat]) > jnp.asarray(cfg.eps, dtype)
+        mass_ov = jnp.where(act_ov, r_orig[gat], jnp.zeros((), dtype))
+        beta = (1.0 - alpha) / alpha
+        mov_ov = jnp.where(
+            dangling[gat][:, None], beta * mass_ov, (1.0 - alpha) * mass_ov
+        )
+    mov_ov = mov_ov * sign_c.astype(dtype)[:, None]
+
+    # scatter straight into r (no N-sized delta temp: saves ~3 full-state
+    # memory passes per round). Reverse mode folds the receiver's 1/d_out
+    # into each contribution via a gather instead of a full-state multiply.
+    if state.mode != FORWARD:
+        contrib = contrib * inv_deg[nbr][:, None]
+        mov_ov = mov_ov * inv_deg[sca][:, None]
+    r = r.at[nbr].add(contrib)
+    r = r.at[sca].add(mov_ov)
+    p = p.at[-1].set(0.0)
+    r = r.at[-1].set(0.0)
+
+    # next candidates = scatter targets (nbr + overlay). Dedup via a 1-D
+    # mark array: O(N) scalar work per round is cheap (it was the O(N*S)
+    # scans the worklist exists to avoid); a sort-based dedup of
+    # ecap+overlay ids measured ~10x slower.
+    marks = jnp.zeros(n + 1, jnp.int8)
+    marks = marks.at[nbr].set(1)
+    marks = marks.at[sca].set(1)
+    marks = marks.at[n].set(0)  # phantom never a candidate
+    next_count = jnp.sum(marks, dtype=jnp.int32)
+    (next_cand,) = jnp.nonzero(marks, size=wcap, fill_value=n)
+    next_cand = next_cand.astype(jnp.int32)
+
+    edge_work = jnp.sum(act_c * graph.snap.row_len[cand][:, None], dtype=jnp.float32)
+    return state.replace(p=p, r=r), next_cand, next_count, n_active, edge_work, fedges
+
+
+def worklist_guards(
+    state: PprState,
+    graph: HybridGraph,
+    cfg: PprConfig,
+    cand: jnp.ndarray,
+    fcap: int,
+    ecap: int,
+    ovacap: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(n_front, fedges, fits) computed from candidate rows only — decides
+    whether a worklist round may run BEFORE any state is mutated (frontier
+    truncation or a dropped live overlay entry would corrupt the state)."""
+    dtype = state.r.dtype
+    deg = graph.window.deg
+    n = graph.n
+    r_c = state.r[cand]
+    deg_c = deg[cand]
+    if state.mode == FORWARD:
+        th = cfg.eps * jnp.maximum(deg_c, 1).astype(dtype)
+        act_c = jnp.abs(r_c) > th[:, None]
+    else:
+        act_c = jnp.abs(r_c) > jnp.asarray(cfg.eps, dtype)
+    any_c = jnp.any(act_c, axis=1)
+    n_front = jnp.sum(any_c, dtype=jnp.int32)
+    fedges = jnp.sum(
+        jnp.where(any_c, graph.snap.row_len[cand], 0), dtype=jnp.int32
+    )
+    fits = jnp.logical_and(n_front <= fcap, fedges <= ecap)
+    if ovacap > 0:
+        gat = graph.ov.src if state.mode == FORWARD else graph.ov.dst
+        amark = (
+            jnp.zeros(n + 1, jnp.int8)
+            .at[cand]
+            .max(any_c.astype(jnp.int8))
+            .at[n]
+            .set(0)
+        )
+        n_live = jnp.sum(
+            jnp.logical_and(amark[gat] > 0, graph.ov.sign != 0), dtype=jnp.int32
+        )
+        fits = jnp.logical_and(fits, n_live <= ovacap)
+    return n_front, fedges, fits
+
+
+def push_to_convergence_worklist(
+    state: PprState,
+    graph: HybridGraph,
+    cfg: PprConfig,
+    cand0: jnp.ndarray,
+    cand0_ok,
+    fcap: int,
+    ecap: int,
+    scan_fcap: int,
+    scan_ecap: int,
+    ovacap: int = 0,
+) -> tuple[PprState, PushStats]:
+    """Convergence loop whose steady-state rounds cost O(frontier), not O(N).
+
+    Each iteration: if the candidate list is valid and the frontier fits the
+    worklist capacities, run a worklist round (no N-sized operations at
+    all); otherwise run a full-scan adaptive round and reseed the candidate
+    list from a fresh activity scan. ``cand0`` seeds the list (e.g. the
+    2b correction endpoints after a window slide); pass ``cand0_ok=False``
+    to start with a scan (e.g. the initial seed push).
+    """
+    n = graph.n
+    wcap = cand0.shape[0]
+
+    def body(c):
+        st, cand, cand_ok, _, stats = c
+        n_front, fedges, fits = worklist_guards(
+            st, graph, cfg, cand, fcap, ecap, ovacap
+        )
+        use_wl = jnp.logical_and(cand_ok, fits)
+
+        def wl(st):
+            st2, cand2, n2, na, ew, _ = worklist_round(
+                st, graph, cfg, cand, fcap, ecap, ovacap
+            )
+            # candidate overflow doesn't corrupt state (the round itself was
+            # exact); it just forces a scan+reseed next iteration
+            return st2, cand2, n2 <= wcap, na, ew
+
+        def scan(st):
+            st2, na, ew = adaptive_round(st, graph, cfg, scan_fcap, scan_ecap)
+            act2 = _active_mask(st2, graph.window, cfg)
+            any2 = jnp.any(act2[:n], axis=1)
+            n2 = jnp.sum(any2, dtype=jnp.int32)
+            (idx,) = jnp.nonzero(any2, size=wcap, fill_value=n)
+            ok = n2 <= wcap
+            cand2 = jnp.where(ok, idx.astype(jnp.int32), jnp.full(wcap, n, jnp.int32))
+            return st2, cand2, ok, na, ew
+
+        st2, cand2, ok2, na, ew = jax.lax.cond(use_wl, wl, scan, st)
+        stats2 = PushStats(
+            rounds=stats.rounds + 1,
+            pushes=stats.pushes + na,
+            edge_pushes=stats.edge_pushes + ew,
+            wl_rounds=stats.wl_rounds + use_wl.astype(jnp.int32),
+        )
+        return st2, cand2, ok2, na, stats2
+
+    def cond(c):
+        _, _, _, na, stats = c
+        return jnp.logical_and(na > 0, stats.rounds < cfg.max_rounds)
+
+    # prime with the candidate-restricted count when valid, else full scan
+    def prime_wl(_):
+        n_front, _, _ = worklist_guards(state, graph, cfg, cand0, fcap, ecap, ovacap)
+        return n_front.astype(jnp.float32)
+
+    def prime_scan(_):
+        return jnp.sum(_active_mask(state, graph.window, cfg), dtype=jnp.float32)
+
+    na0 = jax.lax.cond(jnp.asarray(cand0_ok), prime_wl, prime_scan, 0)
+    state, _, _, _, stats = jax.lax.while_loop(
+        cond, body, (state, cand0, jnp.asarray(cand0_ok), na0, PushStats.zero())
+    )
+    return state, stats
 
 
 def push_to_convergence_hybrid(

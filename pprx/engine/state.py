@@ -59,6 +59,10 @@ class PushStats:
     rounds: jnp.ndarray
     pushes: jnp.ndarray
     edge_pushes: jnp.ndarray
+    # rounds served by the worklist path (0 for engines without one)
+    wl_rounds: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
     @staticmethod
     def zero():
@@ -66,6 +70,7 @@ class PushStats:
             rounds=jnp.zeros((), jnp.int32),
             pushes=jnp.zeros((), jnp.float32),
             edge_pushes=jnp.zeros((), jnp.float32),
+            wl_rounds=jnp.zeros((), jnp.int32),
         )
 
 

@@ -18,6 +18,7 @@ class PerfReport:
     pushes: float
     edge_pushes: float
     n_chips: int = 1
+    wl_rounds: int = 0
 
     @property
     def updates_per_sec(self) -> float:
@@ -42,6 +43,7 @@ class PerfReport:
             "pushes": self.pushes,
             "edge_pushes": self.edge_pushes,
             "n_chips": self.n_chips,
+            "wl_rounds": self.wl_rounds,
             "updates_per_sec": self.updates_per_sec,
             "pushes_per_sec_per_chip": self.pushes_per_sec_per_chip,
             "steps_per_sec": self.steps_per_sec,
@@ -52,6 +54,7 @@ def summarize(stats_list, wall_s: float, edges_per_step: int, n_chips: int = 1) 
     """Aggregate per-step PushStats into one report. ``edges_per_step`` is
     insertions+deletions per slide (2b for a full window slide)."""
     rounds = sum(int(s.rounds) for s in stats_list)
+    wl_rounds = sum(int(getattr(s, "wl_rounds", 0)) for s in stats_list)
     pushes = sum(float(s.pushes) for s in stats_list)
     edge_pushes = sum(float(s.edge_pushes) for s in stats_list)
     n = len(stats_list)
@@ -63,4 +66,5 @@ def summarize(stats_list, wall_s: float, edges_per_step: int, n_chips: int = 1) 
         pushes=pushes,
         edge_pushes=edge_pushes,
         n_chips=n_chips,
+        wl_rounds=wl_rounds,
     )

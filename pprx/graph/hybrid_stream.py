@@ -18,14 +18,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from pprx.config import PprConfig, StreamConfig
-from pprx.engine.sparse import HybridGraph, push_to_convergence_hybrid, rebuild_snapshot
+from pprx.engine.sparse import (
+    HybridGraph,
+    _dedup_compact,
+    push_to_convergence_hybrid,
+    push_to_convergence_worklist,
+    rebuild_snapshot,
+)
 from pprx.engine.state import FORWARD, PprState, PushStats, init_state
 from pprx.engine.update import apply_edge_batch
 from pprx.graph.dynamic import WindowGraph
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "fcap", "ecap"), donate_argnums=(0, 1)
+    jax.jit,
+    static_argnames=("cfg", "fcap", "ecap", "wcap", "ovacap", "worklist"),
+    donate_argnums=(0, 1),
 )
 def hybrid_slide_step(
     state: PprState,
@@ -37,6 +45,9 @@ def hybrid_slide_step(
     cfg: PprConfig,
     fcap: int,
     ecap: int,
+    wcap: int = 0,
+    ovacap: int = 0,
+    worklist: bool = True,
 ) -> tuple[PprState, HybridGraph, PushStats]:
     w = graph.window
     old_src = w.src[slots]
@@ -60,11 +71,31 @@ def hybrid_slide_step(
         dst=w.dst.at[slots].set(new_dst),
     )
     graph = graph.replace(window=w, ov=ov)
-    state, stats = push_to_convergence_hybrid(state, graph, cfg, fcap, ecap)
+    if worklist:
+        # corrections only inject mass at the 4b batch endpoints: they are
+        # the complete initial candidate set for the worklist rounds
+        cand0_ids = jnp.concatenate([old_src, old_dst, new_src, new_dst])
+        cand0, c0n = _dedup_compact(cand0_ids, wcap, graph.n)
+        state, stats = push_to_convergence_worklist(
+            state, graph, cfg, cand0, c0n <= wcap, wcap, ecap, fcap, ecap, ovacap
+        )
+    else:
+        state, stats = push_to_convergence_hybrid(state, graph, cfg, fcap, ecap)
     return state, graph, stats
 
 
 _rebuild_jit = jax.jit(rebuild_snapshot, static_argnames=("mode",))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "wcap", "ecap", "scan_fcap", "scan_ecap", "ovacap"),
+    donate_argnums=(0,),
+)
+def _seed_worklist_jit(state, graph, cand0, cfg, wcap, ecap, scan_fcap, scan_ecap, ovacap):
+    return push_to_convergence_worklist(
+        state, graph, cfg, cand0, False, wcap, ecap, scan_fcap, scan_ecap, ovacap
+    )
 
 
 class HybridStreamDriver:
@@ -78,9 +109,10 @@ class HybridStreamDriver:
         scfg: StreamConfig,
         mode: int = FORWARD,
         dtype=jnp.float32,
-        rebuild_every: int = 16,
+        rebuild_every: int = 4,
         fcap: int | None = None,
         ecap: int | None = None,
+        worklist: bool = True,
     ):
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
@@ -96,21 +128,38 @@ class HybridStreamDriver:
         self.graph = HybridGraph.build(window, mode, overlay_cap)
         self.state = init_state(n, queries, mode=mode, dtype=dtype)
         self.fcap = fcap if fcap is not None else n + 1
-        # steady-state frontier edges after a slide scale with the batch, not
-        # the window (measured ~4x slide on power-law streams); oversize
-        # frontiers fall back to the dense round anyway.
-        self.ecap = ecap if ecap is not None else min(max(4 * scfg.slide, 16_384), w)
+        # the post-slide frontier's snapshot edges scale with the batch times
+        # average degree (~2b rows touched); undersizing this forces dense
+        # fallback rounds at ~10x the cost, so size generously — an
+        # [ecap, S] expansion pass is bandwidth-cheap relative to O(E*S)
+        self.ecap = ecap if ecap is not None else min(max(16 * scfg.slide, 65_536), w)
+        self.worklist = worklist
+        # candidate-list capacity: counts ROWS (frontier vertices), which
+        # track ~4b after a slide — decoupled from the EDGE capacity ecap
+        # (coupling them once blew worklist gathers up 4x, PERFORMANCE.md).
+        # Overflow just falls back to one scan round.
+        self.wcap = max(4 * scfg.slide, 32_768)
+        # live overlay entries per worklist round (overflow -> scan round)
+        self.ovacap = max(4 * scfg.slide, 8192)
         self.rebuild_every = rebuild_every
         self.ov_count = 0
         self.head = w
         self.step_idx = 0
 
     def seed(self) -> PushStats:
-        self.state, stats = jax.jit(
-            push_to_convergence_hybrid,
-            static_argnames=("cfg", "fcap", "ecap"),
-            donate_argnums=(0,),
-        )(self.state, self.graph, cfg=self.cfg, fcap=self.fcap, ecap=self.ecap)
+        if self.worklist:
+            cand0 = jnp.full(self.wcap, self.n, jnp.int32)
+            self.state, stats = _seed_worklist_jit(
+                self.state, self.graph, cand0,
+                cfg=self.cfg, wcap=self.wcap, ecap=self.ecap,
+                scan_fcap=self.fcap, scan_ecap=self.ecap, ovacap=self.ovacap,
+            )
+        else:
+            self.state, stats = jax.jit(
+                push_to_convergence_hybrid,
+                static_argnames=("cfg", "fcap", "ecap"),
+                donate_argnums=(0,),
+            )(self.state, self.graph, cfg=self.cfg, fcap=self.fcap, ecap=self.ecap)
         return stats
 
     @property
@@ -142,6 +191,9 @@ class HybridStreamDriver:
                 cfg=self.cfg,
                 fcap=self.fcap,
                 ecap=self.ecap,
+                wcap=self.wcap,
+                ovacap=self.ovacap,
+                worklist=self.worklist,
             )
             self.ov_count += 2 * b
             self.head += b

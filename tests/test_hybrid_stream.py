@@ -15,7 +15,8 @@ CFG = PprConfig(alpha=0.15, eps=1e-8)
 
 
 @pytest.mark.parametrize("mode", [FORWARD, REVERSE])
-def test_hybrid_stream_matches_dense_stream(mode):
+@pytest.mark.parametrize("worklist", [True, False])
+def test_hybrid_stream_matches_dense_stream(mode, worklist):
     n, total = 35, 500
     src, dst, _ = synthetic_powerlaw_stream(n, total, seed=11)
     scfg = StreamConfig(window=250, slide=25)
@@ -27,7 +28,8 @@ def test_hybrid_stream_matches_dense_stream(mode):
 
     # rebuild_every=3 forces multiple snapshot rebuilds within 10 steps
     b = HybridStreamDriver(
-        src, dst, n, queries, CFG, scfg, mode=mode, dtype=jnp.float64, rebuild_every=3
+        src, dst, n, queries, CFG, scfg, mode=mode, dtype=jnp.float64,
+        rebuild_every=3, worklist=worklist,
     )
     b.seed()
     rb = [int(s.rounds) for s in b.run(10)]
