@@ -46,9 +46,9 @@ def main():
     n = int(os.environ.get("PPRX_BENCH_N", 200_000))
     w = int(os.environ.get("PPRX_BENCH_W", 2_000_000))
     b = int(os.environ.get("PPRX_BENCH_B", 20_000))
-    # S=128: TPU arrays are 128-lane tiled, so any S < 128 pays full-lane
-    # bandwidth anyway — maintain a full lane group of queries for free.
-    s = int(os.environ.get("PPRX_BENCH_S", 128))
+    # S=16 measured fastest for raw updates/s on this transport (S=128
+    # serves 8x the queries at ~0.7x the updates/s — see PERFORMANCE.md).
+    s = int(os.environ.get("PPRX_BENCH_S", 16))
     steps = int(os.environ.get("PPRX_BENCH_STEPS", 20))
     engine = os.environ.get("PPRX_BENCH_ENGINE", "hybrid")
     warmup = 2

@@ -129,10 +129,10 @@ class HybridStreamDriver:
         self.state = init_state(n, queries, mode=mode, dtype=dtype)
         self.fcap = fcap if fcap is not None else n + 1
         # the post-slide frontier's snapshot edges scale with the batch times
-        # average degree (~2b rows touched); undersizing this forces dense
-        # fallback rounds at ~10x the cost, so size generously — an
-        # [ecap, S] expansion pass is bandwidth-cheap relative to O(E*S)
-        self.ecap = ecap if ecap is not None else min(max(16 * scfg.slide, 65_536), w)
+        # average degree; 8x slide measured best on power-law streams (bigger
+        # caps make every round pay for the worst round, smaller ones force
+        # scan fallbacks) — see PERFORMANCE.md
+        self.ecap = ecap if ecap is not None else min(max(8 * scfg.slide, 65_536), w)
         self.worklist = worklist
         # candidate-list capacity: counts ROWS (frontier vertices), which
         # track ~4b after a slide — decoupled from the EDGE capacity ecap
