@@ -151,13 +151,20 @@ def frontier_edge_count(
     return n_active, total
 
 
-def adaptive_round(
-    state: PprState, graph: HybridGraph, cfg: PprConfig, fcap: int, ecap: int
+def adaptive_round_tiered(
+    state: PprState,
+    graph: HybridGraph,
+    cfg: PprConfig,
+    tiers: tuple[tuple[int, int], ...],
 ) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
-    """Sparse round when the frontier fits (and is worth it), dense otherwise.
+    """Full-scan round at the smallest capacity tier that fits the EXACT
+    frontier, dense fallback otherwise.
 
-    The dense fallback also covers frontier-vertex overflow (> fcap): the
-    edge test subsumes it in practice, but we guard both explicitly."""
+    ``tiers``: ((fcap_i, ecap_i), ...) smallest-first. The activity scan is
+    O(N*S) either way; the tier only sizes the sparse round's gather/expand
+    buffers (which otherwise dominate the round — static shapes mean a
+    100-row frontier pays full-capacity buffers without this switch).
+    The dense fallback also covers frontier-vertex overflow (> fcap)."""
     act = _active_mask(state, graph.window, cfg)
     act_any = jnp.any(act, axis=1)
     n_front = jnp.sum(act_any[: graph.n], dtype=jnp.int32)
@@ -166,21 +173,41 @@ def adaptive_round(
         dtype=jnp.int32,
     )
     ov_n = graph.ov.src.shape[0]
-    # fits: the expansion buffer must hold the frontier's snapshot edges
-    # (the overlay sweep has its own fixed-size buffers and does not consume
-    # expansion capacity)
-    fits = jnp.logical_and(n_front <= fcap, fedges <= ecap)
     # worth it: frontier edge work (+overlay) below half the dense edge work
     worth = (fedges + ov_n) * 2 <= graph.window.capacity
-    use_sparse = jnp.logical_and(fits, worth)
 
-    def sp(st, act_):
-        return sparse_round_given_act(st, act_, graph, cfg, fcap, ecap)
+    def sp_branch(i):
+        f_i, e_i = tiers[i]
+
+        def br(st, act_):
+            return sparse_round_given_act(st, act_, graph, cfg, f_i, e_i)
+
+        return br
 
     def dn(st, act_):
         return push_round_given_act(st, act_, graph.window, cfg)
 
-    return jax.lax.cond(use_sparse, sp, dn, state, act)
+    # fits: the expansion buffer must hold the frontier's snapshot edges
+    # (the overlay sweep has its own fixed-size buffers and does not consume
+    # expansion capacity). misses is monotone, so its sum is the first
+    # fitting tier; len(tiers) selects the dense fallback.
+    misses = [
+        jnp.logical_not(
+            jnp.logical_and(n_front <= f_i, fedges <= e_i)
+        ).astype(jnp.int32)
+        for (f_i, e_i) in tiers
+    ]
+    idx = jnp.where(worth, sum(misses), len(tiers))
+    branches = [sp_branch(i) for i in range(len(tiers))] + [dn]
+    return jax.lax.switch(idx, branches, state, act)
+
+
+def adaptive_round(
+    state: PprState, graph: HybridGraph, cfg: PprConfig, fcap: int, ecap: int
+) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
+    """Single-tier adaptive round (sparse when the frontier fits and is
+    worth it, dense otherwise)."""
+    return adaptive_round_tiered(state, graph, cfg, ((fcap, ecap),))
 
 
 def _dedup_compact(ids: jnp.ndarray, cap: int, phantom: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -210,20 +237,26 @@ def worklist_round(
     fcap: int,
     ecap: int,
     ovacap: int = 0,
-) -> tuple[PprState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One push round touching ONLY candidate rows — zero O(N) work.
+) -> tuple[PprState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    """One push round touching ONLY candidate rows — zero O(N*S) work.
 
-    ``cand``: int32[wcap] DEDUPLICATED candidate rows (phantom-padded), a
-    superset of every currently-active row (the caller maintains this
-    inductively: after a round, newly active rows are necessarily scatter
-    targets of that round). This is the TPU shape of the reference's
-    frontier work-queue (SURVEY.md §2.1 "Frontier compaction"): the queue
-    lives across rounds, and each round's cost is proportional to the
-    frontier, not to N.
+    ``cand``: int32[wcap] DEDUPLICATED candidate rows (phantom-padded, live
+    entries first), a superset of every currently-active row (the caller
+    maintains this inductively: after a round, newly active rows are
+    necessarily scatter targets of that round). This is the TPU shape of the
+    reference's frontier work-queue (SURVEY.md §2.1 "Frontier compaction"):
+    the queue lives across rounds, and each round's cost is proportional to
+    the frontier, not to N.
 
-    Returns (state', next_cand, next_count, n_active, edge_work, fedges):
-    caller must verify next_count <= wcap and fedges <= ecap BEFORE trusting
-    next_cand / r (overflow -> rerun this round via the scan path).
+    Returns (state', next_cand, next_count, n_active, edge_work, bounds)
+    where ``bounds`` holds cheap 1-D-computed UPPER BOUNDS for the NEXT
+    round's capacity needs (fed_ub: snapshot edges under all next
+    candidates; live_ub: live overlay entries hitting them) — they let the
+    convergence loop pick a capacity tier for the next round without an
+    O(wcap*S) activity gather. The caller must verify next_count <= wcap
+    BEFORE trusting next_cand (overflow -> scan-path reseed); the round
+    itself is exact as long as the CALLER-chosen caps fit (guards the
+    previous round's bounds provide inductively).
     """
     dtype = state.r.dtype
     alpha = jnp.asarray(cfg.alpha, dtype)
@@ -320,52 +353,54 @@ def worklist_round(
     (next_cand,) = jnp.nonzero(marks, size=wcap, fill_value=n)
     next_cand = next_cand.astype(jnp.int32)
 
-    edge_work = jnp.sum(act_c * graph.snap.row_len[cand][:, None], dtype=jnp.float32)
-    return state.replace(p=p, r=r), next_cand, next_count, n_active, edge_work, fedges
-
-
-def worklist_guards(
-    state: PprState,
-    graph: HybridGraph,
-    cfg: PprConfig,
-    cand: jnp.ndarray,
-    fcap: int,
-    ecap: int,
-    ovacap: int = 0,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(n_front, fedges, fits) computed from candidate rows only — decides
-    whether a worklist round may run BEFORE any state is mutated (frontier
-    truncation or a dropped live overlay entry would corrupt the state)."""
-    dtype = state.r.dtype
-    deg = graph.window.deg
-    n = graph.n
-    r_c = state.r[cand]
-    deg_c = deg[cand]
-    if state.mode == FORWARD:
-        th = cfg.eps * jnp.maximum(deg_c, 1).astype(dtype)
-        act_c = jnp.abs(r_c) > th[:, None]
-    else:
-        act_c = jnp.abs(r_c) > jnp.asarray(cfg.eps, dtype)
-    any_c = jnp.any(act_c, axis=1)
-    n_front = jnp.sum(any_c, dtype=jnp.int32)
-    fedges = jnp.sum(
-        jnp.where(any_c, graph.snap.row_len[cand], 0), dtype=jnp.int32
+    # capacity bounds for the NEXT round (all 1-D work): every next-round
+    # active row is marked, so summing over marks upper-bounds the true
+    # frontier's snapshot-edge and live-overlay needs
+    fed_ub = jnp.sum(
+        jnp.where(marks[:n] > 0, graph.snap.row_len[:n], 0), dtype=jnp.int32
     )
-    fits = jnp.logical_and(n_front <= fcap, fedges <= ecap)
-    if ovacap > 0:
-        gat = graph.ov.src if state.mode == FORWARD else graph.ov.dst
-        amark = (
-            jnp.zeros(n + 1, jnp.int8)
-            .at[cand]
-            .max(any_c.astype(jnp.int8))
-            .at[n]
-            .set(0)
-        )
-        n_live = jnp.sum(
-            jnp.logical_and(amark[gat] > 0, graph.ov.sign != 0), dtype=jnp.int32
-        )
-        fits = jnp.logical_and(fits, n_live <= ovacap)
-    return n_front, fedges, fits
+    live_ub = jnp.sum(
+        jnp.logical_and(marks[gat_full] > 0, ov.sign != 0), dtype=jnp.int32
+    )
+    bounds = {"fed_ub": fed_ub, "live_ub": live_ub}
+
+    edge_work = jnp.sum(act_c * graph.snap.row_len[cand][:, None], dtype=jnp.float32)
+    return state.replace(p=p, r=r), next_cand, next_count, n_active, edge_work, bounds
+
+
+def make_tiers(
+    wcap: int,
+    ecap: int,
+    ovacap: int,
+    n_tiers: int = 3,
+    div: int = 4,
+    min_wcap: int = 2048,
+    min_ecap: int = 4096,
+    min_ovacap: int = 1024,
+) -> tuple[tuple[int, int, int], ...]:
+    """Geometric capacity ladder for tiered worklist rounds, SMALLEST first.
+
+    A worklist round's cost is proportional to its static buffer sizes, not
+    to the actual frontier (static shapes under jit) — so steady-state
+    rounds with a few hundred active rows must not pay the worst-round
+    capacities. The convergence loop picks the smallest tier whose caps fit
+    the (cheaply upper-bounded) frontier each round via ``lax.switch``.
+
+    The ``min_*`` values are CUTOFFS, not clamps: a smaller tier is added
+    only while every divided cap stays above its cutoff, so ladders are
+    strictly monotone and small workloads collapse to a single tier.
+    (Tiering tiny buffers has nothing to win anyway, and multi-tier
+    programs at degenerate sizes — tier caps exceeding the whole graph —
+    segfault this libtpu build's compiled while/cond/switch composition;
+    see PERFORMANCE.md "tiered rounds".)"""
+    tiers = [(wcap, ecap, ovacap)]
+    for _ in range(n_tiers - 1):
+        w2, e2, o2 = tiers[0]
+        nxt = (w2 // div, e2 // div, o2 // div)
+        if nxt[0] < min_wcap or nxt[1] < min_ecap or nxt[2] < min_ovacap:
+            break
+        tiers.insert(0, nxt)
+    return tuple(tiers)
 
 
 def push_to_convergence_worklist(
@@ -374,73 +409,131 @@ def push_to_convergence_worklist(
     cfg: PprConfig,
     cand0: jnp.ndarray,
     cand0_ok,
-    fcap: int,
-    ecap: int,
+    tiers: tuple[tuple[int, int, int], ...],
     scan_fcap: int,
     scan_ecap: int,
-    ovacap: int = 0,
 ) -> tuple[PprState, PushStats]:
     """Convergence loop whose steady-state rounds cost O(frontier), not O(N).
 
-    Each iteration: if the candidate list is valid and the frontier fits the
-    worklist capacities, run a worklist round (no N-sized operations at
-    all); otherwise run a full-scan adaptive round and reseed the candidate
-    list from a fresh activity scan. ``cand0`` seeds the list (e.g. the
-    2b correction endpoints after a window slide); pass ``cand0_ok=False``
-    to start with a scan (e.g. the initial seed push).
+    Each iteration: if the candidate list is valid and the frontier bounds
+    fit the largest tier, run a worklist round at the SMALLEST fitting
+    capacity tier (``lax.switch`` over per-tier compilations of the round);
+    otherwise run a full-scan adaptive round and reseed the candidate list
+    from a fresh activity scan. ``tiers`` is smallest-first (see
+    ``make_tiers``); the largest tier's wcap must equal ``cand0.shape[0]``.
+    ``cand0`` seeds the list (e.g. the 4b correction endpoints after a
+    window slide); pass ``cand0_ok=False`` to start with a scan (e.g. the
+    initial seed push).
+
+    Tier selection uses upper BOUNDS on the frontier's needs (snapshot edges
+    / live overlay entries under ALL candidates, not just active ones),
+    computed with 1-D ops only — no [wcap, S] activity gather per round.
+    Bounds are carried between rounds (each round emits its successor's).
     """
     n = graph.n
-    wcap = cand0.shape[0]
+    tiers = tuple(tiers)
+    wcap, ecap, ovacap = tiers[-1]
+    if cand0.shape[0] != wcap:
+        raise ValueError(
+            f"cand0 capacity {cand0.shape[0]} != largest tier wcap {wcap}"
+        )
+    row_len = graph.snap.row_len
+    ov = graph.ov
+    gat_full = ov.src if state.mode == FORWARD else ov.dst
+    # scan rounds reuse the worklist ladder below their own (full-scan) caps
+    scan_tiers = tuple((w, e) for (w, e, _) in tiers[:-1]) + ((scan_fcap, scan_ecap),)
+
+    def overlay_live_bound(mark: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(
+            jnp.logical_and(mark[gat_full] > 0, ov.sign != 0), dtype=jnp.int32
+        )
+
+    # seed bounds from cand0 (1-D work)
+    live_rows0 = cand0 != n
+    cn0 = jnp.sum(live_rows0, dtype=jnp.int32)
+    fed0 = jnp.sum(jnp.where(live_rows0, row_len[cand0], 0), dtype=jnp.int32)
+    cmark0 = jnp.zeros(n + 1, jnp.int8).at[cand0].set(1).at[n].set(0)
+    liv0 = overlay_live_bound(cmark0)
 
     def body(c):
-        st, cand, cand_ok, _, stats = c
-        n_front, fedges, fits = worklist_guards(
-            st, graph, cfg, cand, fcap, ecap, ovacap
+        st, cand, cn, fed, liv, cand_ok, _, stats = c
+        fits = jnp.logical_and(
+            jnp.logical_and(cn <= wcap, fed <= ecap), liv <= ovacap
         )
         use_wl = jnp.logical_and(cand_ok, fits)
 
+        def tier_branch(i):
+            w_i, e_i, o_i = tiers[i]
+
+            def br(st):
+                st2, cand2, n2, na, ew, b = worklist_round(
+                    st, graph, cfg, cand[:w_i], w_i, e_i, o_i
+                )
+                if w_i < wcap:  # pad back to the carried capacity
+                    cand2 = jnp.full(wcap, n, jnp.int32).at[:w_i].set(cand2)
+                return st2, cand2, n2, b["fed_ub"], b["live_ub"], na, ew
+
+            return br
+
         def wl(st):
-            st2, cand2, n2, na, ew, _ = worklist_round(
-                st, graph, cfg, cand, fcap, ecap, ovacap
+            if len(tiers) == 1:
+                return tier_branch(0)(st)
+            # smallest fitting tier; fits_i is monotone in i, and use_wl
+            # guarantees the largest tier fits
+            misses = [
+                jnp.logical_not(
+                    jnp.logical_and(
+                        jnp.logical_and(cn <= w_i, fed <= e_i), liv <= o_i
+                    )
+                ).astype(jnp.int32)
+                for (w_i, e_i, o_i) in tiers[:-1]
+            ]
+            idx = sum(misses)
+            return jax.lax.switch(
+                idx, [tier_branch(i) for i in range(len(tiers))], st
             )
-            # candidate overflow doesn't corrupt state (the round itself was
-            # exact); it just forces a scan+reseed next iteration
-            return st2, cand2, n2 <= wcap, na, ew
 
         def scan(st):
-            st2, na, ew = adaptive_round(st, graph, cfg, scan_fcap, scan_ecap)
+            st2, na, ew = adaptive_round_tiered(st, graph, cfg, scan_tiers)
             act2 = _active_mask(st2, graph.window, cfg)
             any2 = jnp.any(act2[:n], axis=1)
             n2 = jnp.sum(any2, dtype=jnp.int32)
             (idx,) = jnp.nonzero(any2, size=wcap, fill_value=n)
-            ok = n2 <= wcap
-            cand2 = jnp.where(ok, idx.astype(jnp.int32), jnp.full(wcap, n, jnp.int32))
-            return st2, cand2, ok, na, ew
+            cand2 = idx.astype(jnp.int32)
+            fed2 = jnp.sum(jnp.where(any2, row_len[:n], 0), dtype=jnp.int32)
+            amark = jnp.zeros(n + 1, jnp.int8).at[:n].set(any2.astype(jnp.int8))
+            return st2, cand2, n2, fed2, overlay_live_bound(amark), na, ew
 
-        st2, cand2, ok2, na, ew = jax.lax.cond(use_wl, wl, scan, st)
+        st2, cand2, n2, fed2, liv2, na, ew = jax.lax.cond(use_wl, wl, scan, st)
+        # candidate overflow doesn't corrupt state (the round itself was
+        # exact); it just forces a scan+reseed next iteration
+        ok2 = n2 <= wcap
         stats2 = PushStats(
             rounds=stats.rounds + 1,
             pushes=stats.pushes + na,
             edge_pushes=stats.edge_pushes + ew,
             wl_rounds=stats.wl_rounds + use_wl.astype(jnp.int32),
         )
-        return st2, cand2, ok2, na, stats2
+        return st2, cand2, n2, fed2, liv2, ok2, na, stats2
 
     def cond(c):
-        _, _, _, na, stats = c
+        *_, na, stats = c
         return jnp.logical_and(na > 0, stats.rounds < cfg.max_rounds)
 
-    # prime with the candidate-restricted count when valid, else full scan
+    # priming: with a valid candidate list, just enter the loop (a no-work
+    # round is an exact, tier-0-cheap no-op) — the old activity-count prime
+    # cost an O(wcap*S) gather per slide; without one, count via a full scan
     def prime_wl(_):
-        n_front, _, _ = worklist_guards(state, graph, cfg, cand0, fcap, ecap, ovacap)
-        return n_front.astype(jnp.float32)
+        return jnp.asarray(1.0, jnp.float32)
 
     def prime_scan(_):
         return jnp.sum(_active_mask(state, graph.window, cfg), dtype=jnp.float32)
 
     na0 = jax.lax.cond(jnp.asarray(cand0_ok), prime_wl, prime_scan, 0)
-    state, _, _, _, stats = jax.lax.while_loop(
-        cond, body, (state, cand0, jnp.asarray(cand0_ok), na0, PushStats.zero())
+    state, *_, stats = jax.lax.while_loop(
+        cond,
+        body,
+        (state, cand0, cn0, fed0, liv0, jnp.asarray(cand0_ok), na0, PushStats.zero()),
     )
     return state, stats
 

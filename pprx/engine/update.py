@@ -112,11 +112,9 @@ def apply_edge_batch(
         rowsum = jnp.zeros_like(p).at[graph.src].add(p[graph.dst])  # old out-rows
         d0f = jnp.maximum(d0, 1).astype(dtype)
         pp_old = jnp.where((d0 == 0)[:, None], p, rowsum / d0f[:, None])
-        s_new = (
-            rowsum
-            - jnp.zeros_like(p).at[del_src].add(p[del_dst])
-            + jnp.zeros_like(p).at[ins_src].add(p[ins_dst])
-        )
+        # pp_new - pp_old is nonzero ONLY at rows whose out-edges changed, so
+        # s_new is rowsum plus 2 batch-sized scatters (not 2 more full sweeps)
+        s_new = rowsum.at[del_src].add(-p[del_dst]).at[ins_src].add(p[ins_dst])
         d_new = d0 - k_del + k_ins
         d_newf = jnp.maximum(d_new, 1).astype(dtype)
         pp_new = jnp.where((d_new == 0)[:, None], p, s_new / d_newf[:, None])

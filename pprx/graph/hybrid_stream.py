@@ -21,6 +21,7 @@ from pprx.config import PprConfig, StreamConfig
 from pprx.engine.sparse import (
     HybridGraph,
     _dedup_compact,
+    make_tiers,
     push_to_convergence_hybrid,
     push_to_convergence_worklist,
     rebuild_snapshot,
@@ -32,7 +33,7 @@ from pprx.graph.dynamic import WindowGraph
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "fcap", "ecap", "wcap", "ovacap", "worklist"),
+    static_argnames=("cfg", "fcap", "ecap", "tiers", "worklist"),
     donate_argnums=(0, 1),
 )
 def hybrid_slide_step(
@@ -45,8 +46,7 @@ def hybrid_slide_step(
     cfg: PprConfig,
     fcap: int,
     ecap: int,
-    wcap: int = 0,
-    ovacap: int = 0,
+    tiers: tuple[tuple[int, int, int], ...] = (),
     worklist: bool = True,
 ) -> tuple[PprState, HybridGraph, PushStats]:
     w = graph.window
@@ -74,10 +74,11 @@ def hybrid_slide_step(
     if worklist:
         # corrections only inject mass at the 4b batch endpoints: they are
         # the complete initial candidate set for the worklist rounds
+        wcap = tiers[-1][0]
         cand0_ids = jnp.concatenate([old_src, old_dst, new_src, new_dst])
         cand0, c0n = _dedup_compact(cand0_ids, wcap, graph.n)
         state, stats = push_to_convergence_worklist(
-            state, graph, cfg, cand0, c0n <= wcap, wcap, ecap, fcap, ecap, ovacap
+            state, graph, cfg, cand0, c0n <= wcap, tiers, fcap, ecap
         )
     else:
         state, stats = push_to_convergence_hybrid(state, graph, cfg, fcap, ecap)
@@ -89,12 +90,12 @@ _rebuild_jit = jax.jit(rebuild_snapshot, static_argnames=("mode",))
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "wcap", "ecap", "scan_fcap", "scan_ecap", "ovacap"),
+    static_argnames=("cfg", "tiers", "scan_fcap", "scan_ecap"),
     donate_argnums=(0,),
 )
-def _seed_worklist_jit(state, graph, cand0, cfg, wcap, ecap, scan_fcap, scan_ecap, ovacap):
+def _seed_worklist_jit(state, graph, cand0, cfg, tiers, scan_fcap, scan_ecap):
     return push_to_convergence_worklist(
-        state, graph, cfg, cand0, False, wcap, ecap, scan_fcap, scan_ecap, ovacap
+        state, graph, cfg, cand0, False, tiers, scan_fcap, scan_ecap
     )
 
 
@@ -113,6 +114,7 @@ class HybridStreamDriver:
         fcap: int | None = None,
         ecap: int | None = None,
         worklist: bool = True,
+        n_tiers: int = 3,
     ):
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
@@ -141,6 +143,9 @@ class HybridStreamDriver:
         self.wcap = max(4 * scfg.slide, 32_768)
         # live overlay entries per worklist round (overflow -> scan round)
         self.ovacap = max(4 * scfg.slide, 8192)
+        # geometric capacity ladder: steady-state rounds run at the smallest
+        # tier that (provably) fits their frontier — see make_tiers
+        self.tiers = make_tiers(self.wcap, self.ecap, self.ovacap, n_tiers=n_tiers)
         self.rebuild_every = rebuild_every
         self.ov_count = 0
         self.head = w
@@ -151,8 +156,8 @@ class HybridStreamDriver:
             cand0 = jnp.full(self.wcap, self.n, jnp.int32)
             self.state, stats = _seed_worklist_jit(
                 self.state, self.graph, cand0,
-                cfg=self.cfg, wcap=self.wcap, ecap=self.ecap,
-                scan_fcap=self.fcap, scan_ecap=self.ecap, ovacap=self.ovacap,
+                cfg=self.cfg, tiers=self.tiers,
+                scan_fcap=self.fcap, scan_ecap=self.ecap,
             )
         else:
             self.state, stats = jax.jit(
@@ -191,8 +196,7 @@ class HybridStreamDriver:
                 cfg=self.cfg,
                 fcap=self.fcap,
                 ecap=self.ecap,
-                wcap=self.wcap,
-                ovacap=self.ovacap,
+                tiers=self.tiers,
                 worklist=self.worklist,
             )
             self.ov_count += 2 * b

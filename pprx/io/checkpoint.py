@@ -75,6 +75,9 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
         drv.ecap = min(max(4 * scfg.slide, 16_384), scfg.window)
         drv.wcap = max(drv.ecap, 4 * scfg.slide)
         drv.ovacap = max(4 * scfg.slide, 8192)
+        from pprx.engine.sparse import make_tiers
+
+        drv.tiers = make_tiers(drv.wcap, drv.ecap, drv.ovacap)
         drv.worklist = True
     else:
         drv = StreamDriver.__new__(StreamDriver)

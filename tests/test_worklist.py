@@ -46,7 +46,7 @@ def test_worklist_convergence_matches_dense(mode, wcap, ecap, ovacap):
     st = init_state(n, queries, mode=mode, dtype=jnp.float64)
     cand0 = jnp.full(wcap, n, jnp.int32)
     st, stats = push_to_convergence_worklist(
-        st, hybrid, CFG, cand0, False, wcap, ecap, n + 1, m + 20, ovacap
+        st, hybrid, CFG, cand0, False, ((wcap, ecap, ovacap),), n + 1, m + 20
     )
     p_ref, r_ref, rounds_ref = reference(src, dst, n, queries, mode)
     np.testing.assert_allclose(np.asarray(st.p), p_ref, atol=1e-13)
@@ -68,7 +68,7 @@ def test_worklist_seeded_candidates_cover_frontier():
     wcap = n + 1
     cand0, c0n = _dedup_compact(jnp.asarray([3, 17], jnp.int32), wcap, n)
     st, stats = push_to_convergence_worklist(
-        st, hybrid, CFG, cand0, True, wcap, m + 30, n + 1, m + 30, 8
+        st, hybrid, CFG, cand0, True, ((wcap, m + 30, 8),), n + 1, m + 30
     )
     p_ref, _, rounds_ref = reference(src, dst, n, queries, FORWARD)
     np.testing.assert_allclose(np.asarray(st.p), p_ref, atol=1e-13)
