@@ -51,7 +51,9 @@ def main():
     s = int(os.environ.get("PPRX_BENCH_S", 16))
     steps = int(os.environ.get("PPRX_BENCH_STEPS", 20))
     engine = os.environ.get("PPRX_BENCH_ENGINE", "hybrid")
-    warmup = 2
+    # warm past the first snapshot rebuild (slide rebuild_every+1) so the
+    # timed region holds only steady-state slides with no first-use compiles
+    warmup = 5
 
     stream_len = w + (steps + warmup + 1) * b
     src, dst, _ = synthetic_powerlaw_stream(n, stream_len, seed=7)

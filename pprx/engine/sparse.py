@@ -457,6 +457,11 @@ def push_to_convergence_worklist(
 
     def body(c):
         st, cand, cn, fed, liv, cand_ok, _, stats = c
+        # NOTE: an "exact-guard escalation" (recompute activity-based fed/liv
+        # with an O(wcap*S) gather when these UBs overflow, to rescue rounds
+        # for the worklist path) was tried and measured SLOWER: the rescued
+        # rounds run near the TOP tier by construction, and a tiered scan
+        # round beats a top-tier worklist round (PERFORMANCE.md).
         fits = jnp.logical_and(
             jnp.logical_and(cn <= wcap, fed <= ecap), liv <= ovacap
         )
@@ -508,11 +513,16 @@ def push_to_convergence_worklist(
         # candidate overflow doesn't corrupt state (the round itself was
         # exact); it just forces a scan+reseed next iteration
         ok2 = n2 <= wcap
+        not_wl = jnp.logical_not(use_wl).astype(jnp.int32)
         stats2 = PushStats(
             rounds=stats.rounds + 1,
             pushes=stats.pushes + na,
             edge_pushes=stats.edge_pushes + ew,
             wl_rounds=stats.wl_rounds + use_wl.astype(jnp.int32),
+            scans_cand=stats.scans_cand
+            + not_wl * jnp.logical_or(jnp.logical_not(cand_ok), cn > wcap).astype(jnp.int32),
+            scans_fed=stats.scans_fed + not_wl * (fed > ecap).astype(jnp.int32),
+            scans_liv=stats.scans_liv + not_wl * (liv > ovacap).astype(jnp.int32),
         )
         return st2, cand2, n2, fed2, liv2, ok2, na, stats2
 

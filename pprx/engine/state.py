@@ -63,6 +63,18 @@ class PushStats:
     wl_rounds: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
+    # why rounds fell back to the scan path (candidate-list overflow /
+    # frontier-edge bound over ecap / live-overlay bound over ovacap) —
+    # the knobs to retune when wl_rounds drops (SURVEY.md §5 observability)
+    scans_cand: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
+    scans_fed: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
+    scans_liv: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
     @staticmethod
     def zero():

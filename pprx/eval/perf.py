@@ -19,6 +19,9 @@ class PerfReport:
     edge_pushes: float
     n_chips: int = 1
     wl_rounds: int = 0
+    scans_cand: int = 0
+    scans_fed: int = 0
+    scans_liv: int = 0
 
     @property
     def updates_per_sec(self) -> float:
@@ -44,6 +47,9 @@ class PerfReport:
             "edge_pushes": self.edge_pushes,
             "n_chips": self.n_chips,
             "wl_rounds": self.wl_rounds,
+            "scans_cand": self.scans_cand,
+            "scans_fed": self.scans_fed,
+            "scans_liv": self.scans_liv,
             "updates_per_sec": self.updates_per_sec,
             "pushes_per_sec_per_chip": self.pushes_per_sec_per_chip,
             "steps_per_sec": self.steps_per_sec,
@@ -55,6 +61,9 @@ def summarize(stats_list, wall_s: float, edges_per_step: int, n_chips: int = 1) 
     insertions+deletions per slide (2b for a full window slide)."""
     rounds = sum(int(s.rounds) for s in stats_list)
     wl_rounds = sum(int(getattr(s, "wl_rounds", 0)) for s in stats_list)
+    scans_cand = sum(int(getattr(s, "scans_cand", 0)) for s in stats_list)
+    scans_fed = sum(int(getattr(s, "scans_fed", 0)) for s in stats_list)
+    scans_liv = sum(int(getattr(s, "scans_liv", 0)) for s in stats_list)
     pushes = sum(float(s.pushes) for s in stats_list)
     edge_pushes = sum(float(s.edge_pushes) for s in stats_list)
     n = len(stats_list)
@@ -67,4 +76,7 @@ def summarize(stats_list, wall_s: float, edges_per_step: int, n_chips: int = 1) 
         edge_pushes=edge_pushes,
         n_chips=n_chips,
         wl_rounds=wl_rounds,
+        scans_cand=scans_cand,
+        scans_fed=scans_fed,
+        scans_liv=scans_liv,
     )
