@@ -388,21 +388,32 @@ class ShardedEngine:
             alpha = jnp.asarray(alpha_f, dtype)
             beta = (1.0 - alpha) / alpha
             nloc = deg.shape[0]
+            s_loc = p.shape[1]
 
-            def rowsum(egl_, eog_, eva_):
-                contrib = p[egl_] * eva_.astype(dtype)[:, None]
-                acc = jnp.zeros((n_pad, p.shape[1]), dtype).at[eog_].add(contrib)
-                return jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
-
-            s_old = rowsum(egl, eog, eva)
+            # Row sums before/after the slide. s_new differs from s_old only
+            # at the 2b batch edges, so instead of a second full edge sweep,
+            # accumulate the batch DELTA (expiring edges negative at their
+            # OLD buffer values, fresh edges positive) and fuse both
+            # reductions into ONE psum_scatter over a stacked [n_pad, 2S]
+            # accumulator (same collective bytes, one full gather+scatter
+            # and one collective launch saved per slide).
+            acc = jnp.zeros((n_pad, 2 * s_loc), dtype)
+            contrib = p[egl] * eva.astype(dtype)[:, None]
+            acc = acc.at[eog, :s_loc].add(contrib)
+            old_v = eva[clear_slots].astype(dtype)[:, None]
+            acc = acc.at[eog[clear_slots], s_loc:].add(-p[egl[clear_slots]] * old_v)
+            acc = acc.at[write_sg, s_loc:].add(
+                p[write_dl] * write_v.astype(dtype)[:, None]
+            )
+            red = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
+            s_old = red[:, :s_loc]
+            s_new = s_old + red[:, s_loc:]
 
             eva2 = eva.at[clear_slots].set(0)
             egl2 = egl.at[write_slots].set(write_dl)
             eog2 = eog.at[write_slots].set(write_sg)
             eva2 = eva2.at[write_slots].set(write_v)
             eva2 = eva2.at[-1].set(0)
-
-            s_new = rowsum(egl2, eog2, eva2)
 
             k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
             k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)

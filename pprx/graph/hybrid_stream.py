@@ -135,6 +135,10 @@ class HybridStreamDriver:
         # caps make every round pay for the worst round, smaller ones force
         # scan fallbacks) — see PERFORMANCE.md
         self.ecap = ecap if ecap is not None else min(max(8 * scfg.slide, 65_536), w)
+        # scan rounds get a deeper top tier: a big-sparse round at 4x ecap
+        # still beats the O(W*S) dense fallback it replaces, but past ~W/2
+        # the adaptive "worth" test correctly prefers dense (PERFORMANCE.md)
+        self.scan_ecap = min(4 * self.ecap, max(w // 2, self.ecap))
         self.worklist = worklist
         # candidate-list capacity: counts ROWS (frontier vertices), which
         # track ~4b after a slide — decoupled from the EDGE capacity ecap
@@ -157,7 +161,7 @@ class HybridStreamDriver:
             self.state, stats = _seed_worklist_jit(
                 self.state, self.graph, cand0,
                 cfg=self.cfg, tiers=self.tiers,
-                scan_fcap=self.fcap, scan_ecap=self.ecap,
+                scan_fcap=self.fcap, scan_ecap=self.scan_ecap,
             )
         else:
             self.state, stats = jax.jit(
@@ -195,7 +199,7 @@ class HybridStreamDriver:
                 jnp.asarray(self.ov_count, jnp.int32),
                 cfg=self.cfg,
                 fcap=self.fcap,
-                ecap=self.ecap,
+                ecap=self.scan_ecap,
                 tiers=self.tiers,
                 worklist=self.worklist,
             )

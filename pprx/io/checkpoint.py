@@ -73,6 +73,7 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
         drv.ov_count = 0
         drv.fcap = meta["n"] + 1
         drv.ecap = min(max(4 * scfg.slide, 16_384), scfg.window)
+        drv.scan_ecap = min(4 * drv.ecap, max(scfg.window // 2, drv.ecap))
         drv.wcap = max(drv.ecap, 4 * scfg.slide)
         drv.ovacap = max(4 * scfg.slide, 8192)
         from pprx.engine.sparse import make_tiers
