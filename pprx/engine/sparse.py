@@ -474,6 +474,15 @@ def push_to_convergence_worklist(
                 st2, cand2, n2, na, ew, b = worklist_round(
                     st, graph, cfg, cand[:w_i], w_i, e_i, o_i
                 )
+                # A tier round can mark up to e_i + o_i rows — more than its
+                # own w_i — in which an event cand2 was TRUNCATED at w_i.
+                # Overflow must be judged against the tier actually used, not
+                # the carried wcap: flag it by pushing the count past wcap so
+                # ok2 below goes False and the next round scan-reseeds.
+                # (Round-1 advisor high finding: the old `n2 <= wcap` check
+                # silently dropped candidates in (w_i, wcap] and converged
+                # with unpushed residual above the eps bound.)
+                n2 = jnp.where(n2 <= w_i, n2, wcap + 1)
                 if w_i < wcap:  # pad back to the carried capacity
                     cand2 = jnp.full(wcap, n, jnp.int32).at[:w_i].set(cand2)
                 return st2, cand2, n2, b["fed_ub"], b["live_ub"], na, ew
@@ -530,11 +539,14 @@ def push_to_convergence_worklist(
         *_, na, stats = c
         return jnp.logical_and(na > 0, stats.rounds < cfg.max_rounds)
 
-    # priming: with a valid candidate list, just enter the loop (a no-work
-    # round is an exact, tier-0-cheap no-op) — the old activity-count prime
-    # cost an O(wcap*S) gather per slide; without one, count via a full scan
+    # priming: with a valid candidate list, just enter the loop when any
+    # candidate exists (a no-work round is an exact, tier-0-cheap no-op) —
+    # the old activity-count prime cost an O(wcap*S) gather per slide;
+    # without a candidate list, count via a full scan. Zero candidates means
+    # zero active rows (candidates are a superset of the frontier), so idle
+    # slides skip the loop and keep rounds-telemetry honest.
     def prime_wl(_):
-        return jnp.asarray(1.0, jnp.float32)
+        return (cn0 > 0).astype(jnp.float32)
 
     def prime_scan(_):
         return jnp.sum(_active_mask(state, graph.window, cfg), dtype=jnp.float32)

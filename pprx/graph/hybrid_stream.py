@@ -33,7 +33,7 @@ from pprx.graph.dynamic import WindowGraph
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "fcap", "ecap", "tiers", "worklist"),
+    static_argnames=("cfg", "fcap", "ecap", "scan_ecap", "tiers", "worklist"),
     donate_argnums=(0, 1),
 )
 def hybrid_slide_step(
@@ -46,9 +46,15 @@ def hybrid_slide_step(
     cfg: PprConfig,
     fcap: int,
     ecap: int,
+    scan_ecap: int = 0,
     tiers: tuple[tuple[int, int, int], ...] = (),
     worklist: bool = True,
 ) -> tuple[PprState, HybridGraph, PushStats]:
+    # scan_ecap sizes only the worklist loop's scan-fallback rounds; the
+    # non-worklist engine and seed() run at the tuned ecap (keeping their
+    # compiled programs consistent — round-1 advisor low finding)
+    if scan_ecap <= 0:
+        scan_ecap = ecap
     w = graph.window
     old_src = w.src[slots]
     old_dst = w.dst[slots]
@@ -78,7 +84,7 @@ def hybrid_slide_step(
         cand0_ids = jnp.concatenate([old_src, old_dst, new_src, new_dst])
         cand0, c0n = _dedup_compact(cand0_ids, wcap, graph.n)
         state, stats = push_to_convergence_worklist(
-            state, graph, cfg, cand0, c0n <= wcap, tiers, fcap, ecap
+            state, graph, cfg, cand0, c0n <= wcap, tiers, fcap, scan_ecap
         )
     else:
         state, stats = push_to_convergence_hybrid(state, graph, cfg, fcap, ecap)
@@ -199,7 +205,8 @@ class HybridStreamDriver:
                 jnp.asarray(self.ov_count, jnp.int32),
                 cfg=self.cfg,
                 fcap=self.fcap,
-                ecap=self.scan_ecap,
+                ecap=self.ecap,
+                scan_ecap=self.scan_ecap,
                 tiers=self.tiers,
                 worklist=self.worklist,
             )

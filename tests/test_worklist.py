@@ -55,6 +55,47 @@ def test_worklist_convergence_matches_dense(mode, wcap, ecap, ovacap):
     assert int(stats.wl_rounds) <= int(stats.rounds)
 
 
+@pytest.mark.parametrize("mode", [FORWARD, REVERSE])
+@pytest.mark.parametrize(
+    "tiers",
+    [
+        ((8, 512, 16), (64, 512, 16)),            # advisor round-1 repro
+        ((8, 64, 16), (24, 512, 16), (64, 512, 16)),
+    ],
+)
+def test_multitier_overflow_does_not_drop_candidates(mode, tiers):
+    """A round run at a small tier can mark MORE next-frontier rows than that
+    tier's own wcap; the truncated candidate list must be invalidated against
+    the tier actually used (round-1 advisor high finding: checking against
+    the largest tier's wcap silently dropped rows in (w_i, wcap] and the loop
+    'converged' with unpushed residual above the eps bound).
+
+    Star graph: pushing the hub activates n-1 leaves at once, outgrowing the
+    small tier from a 1-row frontier."""
+    n = 30
+    hub = 0
+    # hub -> every leaf, and every leaf -> hub (so reverse mode pushes too)
+    src = np.array([hub] * (n - 1) + list(range(1, n)), dtype=np.int64)
+    dst = np.array(list(range(1, n)) + [hub] * (n - 1), dtype=np.int64)
+    graph = WindowGraph.from_coo(src, dst, n)
+    hybrid = HybridGraph.build(graph, mode, overlay_cap=8)
+    queries = [hub, 5]
+    st = init_state(n, queries, mode=mode, dtype=jnp.float64)
+    wcap = tiers[-1][0]
+    cand0, c0n = _dedup_compact(jnp.asarray(queries, jnp.int32), wcap, n)
+    st, stats = push_to_convergence_worklist(
+        st, hybrid, CFG, cand0, True, tiers, n + 1, len(src) + 20
+    )
+    p_ref, r_ref, _ = reference(src, dst, n, queries, mode)
+    np.testing.assert_allclose(np.asarray(st.p), p_ref, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.r), r_ref, atol=1e-13)
+    # and convergence really means converged: every residual below threshold
+    deg = np.bincount(src, minlength=n)
+    thresh = CFG.eps * np.maximum(deg, 1) if mode == FORWARD else CFG.eps
+    assert (np.abs(np.asarray(st.r)[:n]) <= np.asarray(thresh).reshape(-1, 1) if mode == FORWARD
+            else (np.abs(np.asarray(st.r)[:n]) <= CFG.eps)).all()
+
+
 def test_worklist_seeded_candidates_cover_frontier():
     """Seeding candidates with exactly the rows holding residual must run
     pure worklist rounds (no scans) and still match the dense engine."""
