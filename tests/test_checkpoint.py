@@ -54,7 +54,68 @@ def test_checkpoint_resume_hybrid(tmp_path):
 
     b = load_checkpoint(ckpt, src, dst)
     assert isinstance(b, HybridStreamDriver)
+    # the resumed driver must carry the WRITER's tuning, not re-derived caps
+    # (round-1 finding: divergent formulas changed resumed-run perf)
+    for attr in ("fcap", "ecap", "scan_ecap", "wcap", "ovacap", "tiers",
+                 "rebuild_every", "worklist"):
+        assert getattr(b, attr) == getattr(a, attr), attr
     for _ in b.run(4):
         pass
     np.testing.assert_array_equal(np.asarray(a.state.p), np.asarray(b.state.p))
     np.testing.assert_array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
+
+
+def test_checkpoint_resume_sharded(tmp_path):
+    """Sharded-driver checkpoints resume bit-identically on the CPU mesh."""
+    import jax
+
+    from pprx.dist.mesh import make_row_mesh
+    from pprx.dist.stream import ShardedStreamDriver
+    from pprx.io.checkpoint import load_sharded_checkpoint, save_sharded_checkpoint
+
+    n, total = 48, 600
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=11)
+    scfg = StreamConfig(window=300, slide=30)
+    mesh = make_row_mesh(4, 2)
+    cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=500)
+    a = ShardedStreamDriver(src, dst, n, [0, 5, 9, 17], cfg, scfg, mesh,
+                            dtype=jnp.float64)
+    a.seed()
+    for _ in a.run(3):
+        pass
+    ckpt = str(tmp_path / "cks.npz")
+    save_sharded_checkpoint(ckpt, a)
+    for _ in a.run(3):
+        pass
+
+    b = load_sharded_checkpoint(ckpt, src, dst, mesh)
+    assert b.head == a.head - 3 * 30 and b.step_idx == a.step_idx - 3
+    for _ in b.run(3):
+        pass
+    np.testing.assert_array_equal(a.host_p(), b.host_p())
+    np.testing.assert_array_equal(a.host_r(), b.host_r())
+    np.testing.assert_array_equal(a.host_deg(), b.host_deg())
+
+
+def test_determinism_bitwise():
+    """Two identical hybrid-stream runs are bit-identical end to end — the
+    build's substitute for the reference's atomics-correctness story
+    (SURVEY.md §5 race detection: no atomics, deterministic scatter order)."""
+    from pprx.graph.hybrid_stream import HybridStreamDriver
+
+    n, total = 60, 800
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=13)
+    scfg = StreamConfig(window=400, slide=40)
+
+    def run():
+        drv = HybridStreamDriver(src, dst, n, [0, 7, 31], CFG, scfg,
+                                 dtype=jnp.float32)
+        drv.seed()
+        for _ in drv.run(6):
+            pass
+        return np.asarray(drv.state.p), np.asarray(drv.state.r)
+
+    p1, r1 = run()
+    p2, r2 = run()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(r1, r2)
