@@ -1,0 +1,221 @@
+"""Sliding-window driver on the compact-frontier v2 engine (pprx.engine.wl2).
+
+Same contract as pprx.graph.stream.StreamDriver / hybrid_stream
+.HybridStreamDriver, with the round-2 redesign of the per-slide device work
+(SURVEY.md §3.2 outer loop):
+
+- expiries are KILLED IN PLACE in the CSR snapshot via the device-resident
+  slot->snapshot-position map (no signed overlay, no per-round overlay
+  sweep);
+- fresh edges ride a per-slide-re-sorted mini-CSR;
+- the convergence loop runs compact slot-sized rounds with exact tier
+  selection (see pprx/engine/wl2.py).
+
+Host work per slide is vectorized NumPy (no per-edge Python loops): batch
+sort by the correction-scatter endpoint (so the [b, S] correction scatters
+run with sorted indices) and the deduplicated initial candidate list.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pprx.config import PprConfig, StreamConfig
+from pprx.engine.state import FORWARD, PprState, PushStats, init_state
+from pprx.engine.update import apply_edge_batch
+from pprx.engine.wl2 import (
+    KillGraph,
+    build_kill_graph,
+    make_tiers2,
+    push_to_convergence_wl2,
+    refresh_fresh_csr,
+)
+from pprx.graph.dynamic import WindowGraph
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tiers"), donate_argnums=(0, 1)
+)
+def wl2_slide_step(
+    state: PprState,
+    kg: KillGraph,
+    new_src: jnp.ndarray,
+    new_dst: jnp.ndarray,
+    old_src: jnp.ndarray,
+    old_dst: jnp.ndarray,
+    slots: jnp.ndarray,
+    fcnt: jnp.ndarray,
+    cand0: jnp.ndarray,
+    c0n: jnp.ndarray,
+    cfg: PprConfig,
+    tiers: tuple[tuple[int, int, int], ...],
+) -> tuple[PprState, KillGraph, PushStats]:
+    n = kg.n
+    # corrections need the OLD window buffer (reverse-mode row sums), so
+    # they run before any mutation
+    state, w = apply_edge_batch(state, kg.window, new_src, new_dst, old_src, old_dst, cfg)
+    # kill expiring edges in the snapshot (their slots are snapshot-era:
+    # the driver asserts rebuild_every * slide <= window)
+    kill_pos = kg.snap_pos[slots]
+    nbr = kg.nbr.at[kill_pos].set(n)
+    # recycle the ring slots with the fresh batch
+    w = w.replace(
+        src=w.src.at[slots].set(new_src),
+        dst=w.dst.at[slots].set(new_dst),
+    )
+    # append fresh edges to the ring + incremental per-row counts
+    new_gat = new_src if state.mode == FORWARD else new_dst
+    new_sca = new_dst if state.mode == FORWARD else new_src
+    kg = kg.replace(
+        window=w,
+        nbr=nbr,
+        fr_gat=jax.lax.dynamic_update_slice(kg.fr_gat, new_gat, (fcnt,)),
+        fr_sca=jax.lax.dynamic_update_slice(kg.fr_sca, new_sca, (fcnt,)),
+        f_len=kg.f_len.at[new_gat].add(1).at[n].set(0),
+    )
+    kg = refresh_fresh_csr(kg)
+    state, stats = push_to_convergence_wl2(state, kg, cfg, cand0, c0n, True, tiers)
+    return state, kg, stats
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "fring"), donate_argnums=(0,))
+def _rebuild_kill_jit(kg: KillGraph, mode: int, fring: int) -> KillGraph:
+    return build_kill_graph(kg.window, mode, fring)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tiers"), donate_argnums=(0,))
+def _seed_wl2_jit(state, kg, cand0, c0n, cfg, tiers):
+    return push_to_convergence_wl2(state, kg, cfg, cand0, c0n, True, tiers)
+
+
+class FastStreamDriver:
+    """Sliding-window stream driver on the wl2 compact-frontier engine."""
+
+    def __init__(
+        self,
+        stream_src: np.ndarray,
+        stream_dst: np.ndarray,
+        n: int,
+        queries,
+        cfg: PprConfig,
+        scfg: StreamConfig,
+        mode: int = FORWARD,
+        dtype=jnp.float32,
+        rebuild_every: int = 8,
+        e_top: int | None = None,
+        n_tiers: int = 5,
+    ):
+        if stream_src.shape[0] < scfg.window:
+            raise ValueError("stream shorter than one window")
+        if rebuild_every * scfg.slide > scfg.window:
+            raise ValueError(
+                "rebuild_every * slide must be <= window (fresh edges must "
+                f"not expire between rebuilds): {rebuild_every} * {scfg.slide}"
+                f" > {scfg.window}"
+            )
+        self.stream_src = np.asarray(stream_src, dtype=np.int32)
+        self.stream_dst = np.asarray(stream_dst, dtype=np.int32)
+        self.n = n
+        self.cfg = cfg
+        self.scfg = scfg
+        self.mode = mode
+        w = scfg.window
+        b = scfg.slide
+        window = WindowGraph.from_coo(
+            self.stream_src[:w], self.stream_dst[:w], n, capacity=w
+        )
+        self.fring = b * rebuild_every
+        self.graph = jax.jit(
+            build_kill_graph, static_argnames=("mode", "fring")
+        )(window, mode=mode, fring=self.fring)
+        self.state = init_state(n, queries, mode=mode, dtype=dtype)
+        # edge-lane tier top: the post-slide frontier's snapshot edges scale
+        # with ~4b endpoints times mean degree; the ladder must reach it or
+        # the first rounds after a slide fall to dense scans (tier sweep in
+        # PERFORMANCE.md round 2)
+        self.e_top = e_top if e_top is not None else min(max(32 * b, 262_144), w // 2)
+        self.tiers = make_tiers2(n, w, self.fring, self.e_top, n_tiers=n_tiers)
+        self.rebuild_every = rebuild_every
+        self.fcnt = 0
+        self.head = w
+        self.step_idx = 0
+        # host mirror of the ring (old-batch values + candidate seeds come
+        # from here — vectorized, no device->host reads on the hot path)
+        self.hsrc = self.stream_src[:w].copy()
+        self.hdst = self.stream_dst[:w].copy()
+        self.cap0 = 4 * b
+        self._queries = list(queries)
+
+    def seed(self) -> PushStats:
+        q = np.unique(np.asarray(self._queries, np.int32))
+        cand0 = np.full(max(q.size, 8), self.n, np.int32)
+        cand0[: q.size] = q
+        self.state, stats = _seed_wl2_jit(
+            self.state,
+            self.graph,
+            jnp.asarray(cand0),
+            jnp.asarray(q.size, jnp.int32),
+            cfg=self.cfg,
+            tiers=self.tiers,
+        )
+        return stats
+
+    @property
+    def steps_available(self) -> int:
+        return (self.stream_src.shape[0] - self.head) // self.scfg.slide
+
+    def run(self, n_steps: int | None = None) -> Iterator[PushStats]:
+        b = self.scfg.slide
+        w = self.scfg.window
+        total = self.steps_available if n_steps is None else n_steps
+        for _ in range(total):
+            if self.head + b > self.stream_src.shape[0]:
+                return
+            if self.fcnt + b > self.fring:
+                self.graph = _rebuild_kill_jit(
+                    self.graph, mode=self.mode, fring=self.fring
+                )
+                self.fcnt = 0
+            slots = (np.arange(self.head, self.head + b) % w).astype(np.int32)
+            new_src = self.stream_src[self.head : self.head + b]
+            new_dst = self.stream_dst[self.head : self.head + b]
+            old_src = self.hsrc[slots]
+            old_dst = self.hdst[slots]
+            # sort both batches by the correction-scatter endpoint so the
+            # [b, S] per-edge correction scatters see sorted indices
+            sca_new = new_dst if self.mode == FORWARD else new_src
+            sca_old = old_dst if self.mode == FORWARD else old_src
+            po = np.argsort(sca_old, kind="stable")
+            pn = np.argsort(sca_new, kind="stable")
+            new_src_s, new_dst_s = new_src[pn], new_dst[pn]
+            slots_s = slots[pn]
+            cand0 = np.full(self.cap0, self.n, np.int32)
+            uniq = np.unique(
+                np.concatenate([old_src, old_dst, new_src, new_dst])
+            )
+            cand0[: uniq.size] = uniq
+            self.state, self.graph, stats = wl2_slide_step(
+                self.state,
+                self.graph,
+                jnp.asarray(new_src_s),
+                jnp.asarray(new_dst_s),
+                jnp.asarray(old_src[po]),
+                jnp.asarray(old_dst[po]),
+                jnp.asarray(slots_s),
+                jnp.asarray(self.fcnt, jnp.int32),
+                jnp.asarray(cand0),
+                jnp.asarray(min(uniq.size, self.cap0), jnp.int32),
+                cfg=self.cfg,
+                tiers=self.tiers,
+            )
+            self.hsrc[slots] = new_src
+            self.hdst[slots] = new_dst
+            self.fcnt += b
+            self.head += b
+            self.step_idx += 1
+            yield stats
