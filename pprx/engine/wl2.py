@@ -78,6 +78,12 @@ class KillGraph:
     f_off: jnp.ndarray
     f_nbr: jnp.ndarray
     f_len: jnp.ndarray
+    # delivery-sorted snapshot view (sorted by SCATTER endpoint): big scan
+    # rounds use it for a sorted residual scatter — measured 1.8x the
+    # unsorted scatter's throughput at window scale (PERFORMANCE.md round 2)
+    d_gat: jnp.ndarray
+    d_sca: jnp.ndarray
+    d_pos: jnp.ndarray
 
     @property
     def n(self) -> int:
@@ -85,7 +91,8 @@ class KillGraph:
 
 
 def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
-    """Jittable snapshot build: stable-sort the window by gather endpoint.
+    """Jittable snapshot build: stable-sort the window by gather endpoint,
+    plus a second view sorted by scatter endpoint for dense scan rounds.
 
     The double argsort yields snap_pos (each slot's rank in snapshot order)
     without an O(W) scatter — measured ~3x cheaper at W=2M."""
@@ -99,6 +106,8 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
+    order_d = jnp.argsort(other, stable=True)
+    d_pos = jnp.argsort(order_d, stable=True).astype(jnp.int32)
     return KillGraph(
         window=window,
         offsets=offsets,
@@ -110,7 +119,55 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
         f_off=jnp.zeros(n + 2, jnp.int32),
         f_nbr=jnp.full(fring, n, jnp.int32),
         f_len=jnp.zeros(n + 1, jnp.int32),
+        d_gat=key[order_d].astype(jnp.int32),
+        d_sca=other[order_d].astype(jnp.int32),
+        d_pos=d_pos,
     )
+
+
+def dense_round_sorted(
+    state: PprState, kg: KillGraph, cfg: PprConfig
+) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
+    """Dense push round over the delivery-sorted snapshot + fresh ring.
+
+    Exact peer of pprx.engine.push.push_round (tested), restructured for
+    TPU scatter cost: contributions are produced in scatter-endpoint order
+    so the window-sized residual scatter runs with indices_are_sorted=True.
+    Killed snapshot slots have d_gat == phantom, whose moving row is zero.
+    Reverse mode factors the receiver's 1/d_out out of the sum (same trick
+    as pprx/dist/sharded.py) to keep the scatter payload gather-free.
+    """
+    dtype = state.r.dtype
+    alpha = jnp.asarray(cfg.alpha, dtype)
+    n = kg.n
+    deg = kg.window.deg
+    act = _active_mask(state, kg.window, cfg)
+    mass = jnp.where(act, state.r, jnp.zeros((), dtype))
+    dangling = (deg == 0)[:, None]
+    p2 = state.p + jnp.where(dangling, mass, alpha * mass)
+    r2 = state.r - mass
+    if state.mode == FORWARD:
+        inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
+        moving = (1.0 - alpha) * mass * inv_deg
+        r2 = r2.at[kg.d_sca].add(moving[kg.d_gat], indices_are_sorted=True)
+        r2 = r2.at[kg.fr_sca].add(moving[kg.fr_gat])
+        edge_pushes = jnp.sum(act * deg[:, None], dtype=jnp.float32)
+    else:
+        beta = (1.0 - alpha) / alpha
+        outmass = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
+        delta = jnp.zeros_like(r2).at[kg.d_sca].add(
+            outmass[kg.d_gat], indices_are_sorted=True
+        )
+        delta = delta.at[kg.fr_sca].add(outmass[kg.fr_gat])
+        inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
+        r2 = r2 + delta * inv_deg
+        edge_pushes = jnp.sum(act[kg.d_gat], dtype=jnp.float32) + jnp.sum(
+            act[kg.fr_gat], dtype=jnp.float32
+        )
+    p2 = p2.at[-1].set(0.0)
+    r2 = r2.at[-1].set(0.0)
+    n_active = jnp.sum(act, dtype=jnp.float32)
+    return state.replace(p=p2, r=r2), n_active, edge_pushes
 
 
 def refresh_fresh_csr(kg: KillGraph) -> KillGraph:
@@ -375,9 +432,7 @@ def push_to_convergence_wl2(
             )
 
         def scan(st):
-            act = _active_mask(st, kg.window, cfg)
-            na = jnp.sum(act, dtype=jnp.float32)
-            st2, _, ew = push_round_given_act(st, act, kg.window, cfg)
+            st2, na, ew = dense_round_sorted(st, kg, cfg)
             act2 = _active_mask(st2, kg.window, cfg)
             any2 = jnp.any(act2[:n], axis=1)
             cn2 = jnp.sum(any2, dtype=jnp.int32)

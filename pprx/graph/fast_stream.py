@@ -60,9 +60,12 @@ def wl2_slide_step(
     # they run before any mutation
     state, w = apply_edge_batch(state, kg.window, new_src, new_dst, old_src, old_dst, cfg)
     # kill expiring edges in the snapshot (their slots are snapshot-era:
-    # the driver asserts rebuild_every * slide <= window)
+    # the driver asserts rebuild_every * slide <= window) — in BOTH views:
+    # the gather-sorted CSR masks by nbr == phantom, the delivery-sorted
+    # view by d_gat == phantom (whose moving row is zero)
     kill_pos = kg.snap_pos[slots]
     nbr = kg.nbr.at[kill_pos].set(n)
+    d_gat = kg.d_gat.at[kg.d_pos[slots]].set(n)
     # recycle the ring slots with the fresh batch
     w = w.replace(
         src=w.src.at[slots].set(new_src),
@@ -74,6 +77,7 @@ def wl2_slide_step(
     kg = kg.replace(
         window=w,
         nbr=nbr,
+        d_gat=d_gat,
         fr_gat=jax.lax.dynamic_update_slice(kg.fr_gat, new_gat, (fcnt,)),
         fr_sca=jax.lax.dynamic_update_slice(kg.fr_sca, new_sca, (fcnt,)),
         f_len=kg.f_len.at[new_gat].add(1).at[n].set(0),
