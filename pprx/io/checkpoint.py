@@ -133,9 +133,9 @@ def save_sharded_checkpoint(path: str, drv) -> None:
     }
     import jax
 
-    free_lens = np.asarray([len(f) for f in drv.free_slots], np.int64)
+    free_lens = np.asarray(drv._free_top, np.int64)
     free_flat = np.concatenate(
-        [np.asarray(f, np.int64) for f in drv.free_slots]
+        [np.asarray(s[:t], np.int64) for s, t in zip(drv._free_stack, drv._free_top)]
     ) if free_lens.sum() else np.zeros(0, np.int64)
     np.savez_compressed(
         path,
@@ -171,8 +171,8 @@ def load_sharded_checkpoint(
     cfg = PprConfig(**meta["cfg"])
     scfg = StreamConfig(**meta["scfg"])
     drv = ShardedStreamDriver.__new__(ShardedStreamDriver)
-    drv.stream_src = np.asarray(stream_src, dtype=np.int64)
-    drv.stream_dst = np.asarray(stream_dst, dtype=np.int64)
+    drv.stream_src = np.asarray(stream_src, dtype=np.int32)
+    drv.stream_dst = np.asarray(stream_dst, dtype=np.int32)
     drv.n = meta["n"]
     drv.cfg = cfg
     drv.scfg = scfg
@@ -203,14 +203,17 @@ def load_sharded_checkpoint(
     ) // eng.n_local
     drv.pos_owner = np.asarray(z["pos_owner"])
     drv.pos_slot = np.asarray(z["pos_slot"])
-    lens = np.asarray(z["free_lens"])
-    flat = np.asarray(z["free_flat"])
-    drv.free_slots = []
+    lens = np.asarray(z["free_lens"], np.int64)
+    flat = np.asarray(z["free_flat"], np.int32)
+    drv._free_stack = [np.empty(eng.ecap, np.int32) for _ in range(eng.n_rows)]
+    drv._free_top = np.zeros(eng.n_rows, np.int64)
     off = 0
-    for ln in lens:
-        drv.free_slots.append([int(x) for x in flat[off : off + int(ln)]])
+    for k, ln in enumerate(lens):
+        drv._free_stack[k][: int(ln)] = flat[off : off + int(ln)]
+        drv._free_top[k] = int(ln)
         off += int(ln)
     drv.head = meta["head"]
     drv.step_idx = meta["step_idx"]
+    drv.last_host_ms = 0.0
     drv._row_sh = row_sh
     return drv
