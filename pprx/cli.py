@@ -30,6 +30,13 @@ def _enable_compile_cache():
     config directly rather than relying on env vars."""
     import jax
 
+    if "JAX_PLATFORMS" in os.environ:
+        # honor the env var even when a sitecustomize already imported jax
+        # and force-registered a platform (the CPU-mesh testing recipe)
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     try:
         jax.config.update(
             "jax_compilation_cache_dir", os.path.expanduser("~/.cache/pprx-xla")
@@ -126,26 +133,68 @@ def cmd_static(args):
     print(json.dumps(out))
 
 
+class _DictStats:
+    """Adapter: sharded-driver dict records -> PushStats-like attrs."""
+
+    def __init__(self, d):
+        self.rounds = d["rounds"]
+        self.pushes = d["pushes"]
+        self.edge_pushes = d["edge_pushes"]
+
+
+def _make_stream_driver(args, src, dst, n, queries, scfg):
+    """Build the engine selected by --engine; 'sharded' initializes the
+    multi-host runtime (SURVEY.md §5 comm backend) and row-shards over
+    the global device mesh."""
+    from pprx.graph.fast_stream import FastStreamDriver
+    from pprx.graph.hybrid_stream import HybridStreamDriver
+    from pprx.graph.stream import StreamDriver
+
+    common = dict(mode=_mode(args), dtype=_dtype(args))
+    if args.engine == "sharded":
+        import jax
+
+        from pprx.dist.init import init_distributed
+        from pprx.dist.mesh import make_row_mesh
+        from pprx.dist.stream import ShardedStreamDriver
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        if args.mesh:
+            rows, srcs = (int(x) for x in args.mesh.split(","))
+        else:
+            rows, srcs = len(jax.devices()), 1
+        mesh = make_row_mesh(rows, srcs)
+        return ShardedStreamDriver(
+            src, dst, n, queries, _cfg(args), scfg, mesh, ecap=args.ecap, **common
+        ), rows * srcs
+    ctor = {
+        "fast": FastStreamDriver,
+        "hybrid": HybridStreamDriver,
+        "dense": StreamDriver,
+    }[args.engine]
+    return ctor(src, dst, n, queries, _cfg(args), scfg, **common), 1
+
+
 def cmd_stream(args):
     from pprx.config import StreamConfig
     from pprx.eval.perf import summarize
-    from pprx.graph.hybrid_stream import HybridStreamDriver
-    from pprx.graph.stream import StreamDriver
     from pprx.logging import JsonlLogger
 
     src, dst, n = _load(args)
     queries = [int(q) for q in args.queries.split(",")]
     scfg = StreamConfig(window=args.window, slide=args.slide)
-    ctor = HybridStreamDriver if args.engine == "hybrid" else StreamDriver
-    drv = ctor(
-        src, dst, n, queries, _cfg(args), scfg, mode=_mode(args), dtype=_dtype(args)
-    )
+    drv, n_chips = _make_stream_driver(args, src, dst, n, queries, scfg)
+    sharded = args.engine == "sharded"
     with JsonlLogger(args.log) as log:
         seed_stats = drv.seed()
+        if sharded:
+            seed_stats = _DictStats(seed_stats)
         log.log("seed", rounds=int(seed_stats.rounds), pushes=float(seed_stats.pushes))
         t0 = time.perf_counter()
         stats_list = []
         for i, s in enumerate(drv.run(args.steps)):
+            if sharded:
+                s = _DictStats(s)
             stats_list.append(s)
             log.log(
                 "slide",
@@ -155,12 +204,17 @@ def cmd_stream(args):
                 edge_pushes=float(s.edge_pushes),
             )
             if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
-                from pprx.io.checkpoint import save_checkpoint
+                if sharded:
+                    from pprx.io.checkpoint import save_sharded_checkpoint
 
-                save_checkpoint(args.checkpoint, drv)
+                    save_sharded_checkpoint(args.checkpoint, drv)
+                else:
+                    from pprx.io.checkpoint import save_checkpoint
+
+                    save_checkpoint(args.checkpoint, drv)
                 log.log("checkpoint", step=i, path=args.checkpoint)
         wall = time.perf_counter() - t0
-        rep = summarize(stats_list, wall, edges_per_step=2 * args.slide)
+        rep = summarize(stats_list, wall, edges_per_step=2 * args.slide, n_chips=n_chips)
         log.log("summary", **rep.as_dict())
     print(json.dumps(rep.as_dict()))
 
@@ -240,9 +294,28 @@ def main(argv=None):
     p.add_argument("--slide", type=int, required=True)
     p.add_argument(
         "--engine",
-        choices=["hybrid", "dense"],
-        default="hybrid",
-        help="hybrid = sparse-frontier rounds with dense fallback (default)",
+        choices=["fast", "hybrid", "dense", "sharded"],
+        default="fast",
+        help="fast = compact-frontier wl2 engine (default); sharded = "
+        "row-sharded multi-device/multi-host engine",
+    )
+    p.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        help="sharded engine mesh 'rows,srcs' (default: all devices x 1)",
+    )
+    p.add_argument(
+        "--coordinator",
+        type=str,
+        default=None,
+        help="multi-host: jax.distributed coordinator address host:port",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--ecap", type=int, default=None,
+        help="sharded engine: per-shard edge-buffer capacity (default: window)",
     )
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--log", type=str, default=None, help="JSONL log path (default stdout)")

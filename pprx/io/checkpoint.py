@@ -26,22 +26,28 @@ from pprx.graph.stream import StreamDriver
 
 
 def save_checkpoint(path: str, drv) -> None:
-    """Works for both StreamDriver and HybridStreamDriver: the persisted
-    state is the COO window + degrees + p/r (the snapshot/overlay are
-    derived data, rebuilt on resume)."""
+    """Works for StreamDriver, HybridStreamDriver and FastStreamDriver.
+    For dense/hybrid the persisted state is the COO window + degrees + p/r
+    (snapshot/overlay are derived, rebuilt on resume). For the fast (wl2)
+    driver the kill-in-place snapshot and fresh ring are part of the exact
+    round schedule, so ALL KillGraph arrays are persisted — resume is
+    bit-identical to the uninterrupted run (tests/test_checkpoint.py)."""
     from pprx.engine.sparse import HybridGraph
+    from pprx.engine.wl2 import KillGraph
 
     is_hybrid = isinstance(drv.graph, HybridGraph)
-    graph = drv.graph.window if is_hybrid else drv.graph
+    is_fast = isinstance(drv.graph, KillGraph)
+    graph = drv.graph.window if (is_hybrid or is_fast) else drv.graph
     meta = {
         "n": drv.n,
         "head": drv.head,
         "step_idx": drv.step_idx,
         "mode": drv.mode,
-        "engine": "hybrid" if is_hybrid else "dense",
+        "engine": "hybrid" if is_hybrid else ("fast" if is_fast else "dense"),
         "cfg": dataclasses.asdict(drv.cfg),
         "scfg": dataclasses.asdict(drv.scfg),
     }
+    extra = {}
     if is_hybrid:
         meta["tuning"] = {
             "fcap": drv.fcap,
@@ -53,6 +59,25 @@ def save_checkpoint(path: str, drv) -> None:
             "rebuild_every": drv.rebuild_every,
             "worklist": drv.worklist,
         }
+    if is_fast:
+        meta["tuning"] = {
+            "tiers": [list(t) for t in drv.tiers],
+            "rebuild_every": drv.rebuild_every,
+            "e_top": drv.e_top,
+            "fring": drv.fring,
+            "cap0": drv.cap0,
+            "fcnt": drv.fcnt,
+            "queries": [int(q) for q in drv._queries],
+        }
+        kg = drv.graph
+        extra = {
+            f"kg_{f}": np.asarray(getattr(kg, f))
+            for f in (
+                "offsets", "nbr", "row_len", "snap_pos",
+                "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
+                "d_gat", "d_sca", "d_pos",
+            )
+        }
     np.savez_compressed(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -61,6 +86,7 @@ def save_checkpoint(path: str, drv) -> None:
         src=np.asarray(graph.src),
         dst=np.asarray(graph.dst),
         deg=np.asarray(graph.deg),
+        **extra,
     )
 
 
@@ -78,7 +104,31 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
     window = WindowGraph(
         src=jnp.asarray(z["src"]), dst=jnp.asarray(z["dst"]), deg=jnp.asarray(z["deg"])
     )
-    if meta.get("engine") == "hybrid":
+    if meta.get("engine") == "fast":
+        from pprx.engine.wl2 import KillGraph
+        from pprx.graph.fast_stream import FastStreamDriver
+
+        tune = meta["tuning"]
+        drv = FastStreamDriver.__new__(FastStreamDriver)
+        drv.rebuild_every = tune["rebuild_every"]
+        drv.e_top = tune["e_top"]
+        drv.fring = tune["fring"]
+        drv.cap0 = tune["cap0"]
+        drv.fcnt = tune["fcnt"]
+        drv._queries = list(tune["queries"])
+        drv.tiers = tuple(tuple(t) for t in tune["tiers"])
+        kg_fields = {
+            f: jnp.asarray(z[f"kg_{f}"])
+            for f in (
+                "offsets", "nbr", "row_len", "snap_pos",
+                "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
+                "d_gat", "d_sca", "d_pos",
+            )
+        }
+        drv.graph = KillGraph(window=window, **kg_fields)
+        drv.hsrc = np.asarray(z["src"], dtype=np.int32)
+        drv.hdst = np.asarray(z["dst"], dtype=np.int32)
+    elif meta.get("engine") == "hybrid":
         from pprx.engine.sparse import HybridGraph
         from pprx.graph.hybrid_stream import HybridStreamDriver
 

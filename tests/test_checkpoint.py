@@ -119,3 +119,36 @@ def test_determinism_bitwise():
     p2, r2 = run()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_checkpoint_resume_fast(tmp_path):
+    """Fast (wl2) driver: full KillGraph persisted; resume bit-identical
+    even across a snapshot-rebuild boundary."""
+    from pprx.graph.fast_stream import FastStreamDriver
+
+    n, total = 30, 500
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=8)
+    scfg = StreamConfig(window=200, slide=20)
+    a = FastStreamDriver(
+        src, dst, n, [0, 5], CFG, scfg, dtype=jnp.float64, rebuild_every=3
+    )
+    a.seed()
+    for _ in a.run(4):
+        pass
+    ckpt = str(tmp_path / "ckf.npz")
+    save_checkpoint(ckpt, a)
+    for _ in a.run(5):  # crosses a rebuild (fcnt wraps at 3 slides)
+        pass
+
+    b = load_checkpoint(ckpt, src, dst)
+    assert isinstance(b, FastStreamDriver)
+    # resumed driver carries the writer's tuning (static fields; fcnt is
+    # positional state and differs once `a` ran further)
+    for attr in ("tiers", "rebuild_every", "e_top", "fring", "cap0"):
+        assert getattr(b, attr) == getattr(a, attr), attr
+    for _ in b.run(5):
+        pass
+    np.testing.assert_array_equal(np.asarray(a.state.p), np.asarray(b.state.p))
+    np.testing.assert_array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
+    np.testing.assert_array_equal(np.asarray(a.graph.nbr), np.asarray(b.graph.nbr))
+    np.testing.assert_array_equal(a.hsrc, b.hsrc)

@@ -73,3 +73,19 @@ def test_retrieve(graph_npz, capsys):
     )
     assert out["batch"] == 16 and out["k"] == 10
     assert out["retrieval_ms"] > 0
+
+
+def test_stream_sharded_engine(graph_npz, tmp_path, capsys):
+    """--engine sharded runs on the virtual CPU mesh (rows x srcs) through
+    the same CLI surface (SURVEY.md §5 comm backend / L7)."""
+    out = run_cli(
+        capsys,
+        [
+            "stream", graph_npz, "--window", "300", "--slide", "30",
+            "--steps", "3", "--engine", "sharded", "--mesh", "4,2",
+            "--queries", "0,5", "--f64",
+        ],
+    )
+    assert out["steps"] == 3
+    assert out["n_chips"] == 8
+    assert out["updates_per_sec"] > 0
