@@ -1,0 +1,492 @@
+"""Sharded compact-frontier push engine (SURVEY.md §3.5; VERDICT round-1
+item 2: "port the worklist engine into the sharded path").
+
+The dense sharded engine (pprx.dist.sharded) pays O(ecap*S) expansion and an
+O(N_pad*S) reduce-scatter EVERY round. This engine runs the wl2
+compact-frontier machinery (pprx.engine.wl2) PER SHARD inside shard_map:
+
+- each shard keeps a kill-in-place CSR snapshot of its owned window edges
+  (gather endpoint local, scatter endpoint GLOBAL; expired slots point at
+  the global phantom n_pad) plus a per-slide-re-sorted fresh mini-CSR;
+- a round gathers/pushes only the shard's compact candidate rows, expands
+  them with the edge-balanced run-length decode, winner-dedups the delivery
+  targets, and ships per-destination-shard buckets of (local id, mass[S])
+  over ONE ``lax.all_to_all`` along 'rows' — O(frontier) traffic, not
+  O(N_pad*S);
+- bucket overflow goes to a local [N_pad, S] carry outbox; any pending
+  carry forces the next round onto the DENSE path (full local expansion +
+  carry flush + psum_scatter + exact activity rescan), the proven overflow
+  semantics of the dense engine's a2a mode — mass is never dropped;
+- the tier / dense decision is made UNIFORM along 'rows' by pmax-ing the
+  per-shard frontier counts (devices that share an all_to_all group must
+  take the same branch); 'srcs' groups decide independently (their
+  exchanges are disjoint).
+
+Exactness argument (same induction as wl2): after a compact round the next
+active rows are a subset of the delivery targets (pushed rows hit exact
+zero; undelivered rows keep their sub-threshold residuals; carry-deferred
+deliveries force a dense round whose rescan re-seeds exactly). Parity with
+the single-device engine is tested in tests/test_dist_wl.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.7 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from pprx.config import PprConfig
+from pprx.dist.sharded import ShardedEngine
+from pprx.engine.state import FORWARD
+from pprx.engine.wl2 import rld_expand
+
+
+def make_wl_tiers(
+    n_local: int,
+    ecap: int,
+    fring: int,
+    e_top: int,
+    w_top: int,
+    n_tiers: int = 4,
+    div: int = 4,
+    min_w: int = 512,
+    min_e: int = 1024,
+    min_g: int = 256,
+) -> tuple[tuple[int, int, int], ...]:
+    """Per-shard geometric (w, e, g) capacity ladder, smallest first (the
+    sharded sibling of pprx.engine.wl2.make_tiers2; ``min_*`` are cutoffs,
+    not clamps — see the libtpu hazard note in PERFORMANCE.md)."""
+    e_top = max(min(e_top, ecap), 1)
+    g_top = max(min(fring, max(e_top // 4, 1)), 1)
+    w_top = min(max(w_top, min_w), n_local + 1)
+    tiers = [(w_top, e_top, g_top)]
+    for _ in range(n_tiers - 1):
+        w2, e2, g2 = tiers[0]
+        nxt = (
+            min(max(w2 // div, 1), n_local + 1),
+            max(e2 // div, 1),
+            max(g2 // div, 1),
+        )
+        if nxt[0] < min_w or nxt[1] < min_e or nxt[2] < min_g:
+            break
+        tiers.insert(0, nxt)
+    return tuple(tiers)
+
+
+class ShardedWlEngine(ShardedEngine):
+    """Row-sharded engine whose push loop runs compact-frontier rounds with
+    bucketed all-to-all exchange (forward AND reverse modes; reverse applies
+    the receiver-side 1/d_out factor exactly like the dense engine)."""
+
+    def __init__(
+        self,
+        mesh: jax.sharding.Mesh,
+        n: int,
+        s_total: int,
+        ecap: int,
+        bcap: int,
+        cfg: PprConfig,
+        mode: int = FORWARD,
+        dtype=jnp.float32,
+        ccap: int = 2048,
+        fring: int | None = None,
+        e_top: int | None = None,
+        n_tiers: int = 4,
+    ):
+        # the dense machinery (corrections, fallback rounds, init_state,
+        # device_graph) comes from the parent; exchange='dense_rs' there is
+        # only the parent's own push path, which slide_wl never calls
+        super().__init__(
+            mesh, n, s_total, ecap, bcap, cfg, mode=mode, dtype=dtype,
+            exchange="dense_rs", ccap=ccap,
+        )
+        self.wl_ccap = min(ccap, self.n_local)
+        self.fring = max(bcap, fring if fring is not None else 8 * bcap)
+        # snapshot arrays have ecap usable positions + 1 trash position
+        self.sstride = self.slot_stride  # ecap + 1
+        et = e_top if e_top is not None else min(max(8 * bcap, 16_384), ecap)
+        self.tiers = make_wl_tiers(
+            self.n_local, ecap, self.fring, et,
+            w_top=self.n_rows * self.wl_ccap, n_tiers=n_tiers,
+        )
+        # the candidate carry must hold any a2a delivery (K*ccap) and any
+        # host-seeded batch; dense rescans that outgrow it flag ok=False
+        self.wcarry = max(
+            self.tiers[-1][0], self.n_rows * self.wl_ccap, 4 * bcap
+        )
+        self._build_wl_programs()
+
+    # ------------------------------------------------------------------
+    # graph construction (host): per-shard snapshot CSR + fresh ring
+    # ------------------------------------------------------------------
+    def device_graph_wl(self, src, dst):
+        """Like device_graph, plus the per-shard snapshot CSR. Returns
+        (deg, egl, eog, eva, counts, snap) where snap is the dict of
+        P('rows')-sharded snapshot/fresh arrays fed to push_wl/slide_wl."""
+        deg, egl, eog, eva, counts = self.device_graph(src, dst)
+        snap = self._rebuild(egl, eog, eva)
+        return deg, egl, eog, eva, counts, snap
+
+    def rebuild(self, egl, eog, eva):
+        """Re-sort the window slot buffers into a fresh snapshot (device,
+        per shard), resetting the fresh ring. Call every `rebuild_every`
+        slides (driver-managed, like FastStreamDriver)."""
+        return self._rebuild(egl, eog, eva)
+
+    # ------------------------------------------------------------------
+    def _build_wl_programs(self):
+        mesh = self.mesh
+        dtype = self.dtype
+        cfg = self.cfg
+        mode = self.mode
+        n = self.n
+        K = self.n_rows
+        n_local = self.n_local
+        n_pad = self.n_pad
+        sstride = self.sstride
+        fring = self.fring
+        ccap = self.wl_ccap
+        tiers = self.tiers
+        wcarry = self.wcarry
+        alpha_f = cfg.alpha
+        spec_state, spec_row, rep = self.state_spec, self.row_spec, P()
+        smap = functools.partial(shard_map, mesh=mesh, check_vma=False)
+
+        # ---------------- rebuild: slot buffers -> snapshot ----------------
+        @jax.jit
+        @functools.partial(
+            smap,
+            in_specs=(spec_row,) * 3,
+            out_specs={
+                "soff": spec_row, "snbr": spec_row, "srl": spec_row,
+                "spos": spec_row, "slane": spec_row,
+                "fr_gat": spec_row, "fr_sca": spec_row,
+                "f_off": spec_row, "f_nbr": spec_row, "f_len": spec_row,
+                "fcnt": spec_row,
+            },
+        )
+        def rebuild_fn(egl, eog, eva):
+            # dead slots sort to the tail (key n_local) and become trash
+            key = jnp.where(eva > 0, egl, n_local)
+            order = jnp.argsort(key, stable=True)
+            spos = jnp.argsort(order, stable=True).astype(jnp.int32)
+            snbr = jnp.where(eva > 0, eog, n_pad).astype(jnp.int32)[order]
+            counts = jnp.zeros(n_local, jnp.int32).at[egl].add(eva)
+            soff = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+            )
+            # owning local row per snapshot position (for dense rounds)
+            boundary = jnp.zeros(sstride + 1, jnp.int32).at[
+                jnp.minimum(soff[:-1], sstride)
+            ].add(1)
+            slane = (jnp.cumsum(boundary[:sstride]) - 1).astype(jnp.int32)
+            slane = jnp.clip(slane, 0, n_local - 1)
+            return {
+                "soff": soff,
+                "snbr": snbr,
+                "srl": counts,
+                "spos": spos,
+                "slane": slane,
+                "fr_gat": jnp.full(fring, n_local, jnp.int32),
+                "fr_sca": jnp.full(fring, n_pad, jnp.int32),
+                "f_off": jnp.zeros(n_local + 1, jnp.int32),
+                "f_nbr": jnp.full(fring, n_pad, jnp.int32),
+                "f_len": jnp.zeros(n_local, jnp.int32),
+                "fcnt": jnp.zeros(1, jnp.int32),
+            }
+
+        self._rebuild = rebuild_fn
+
+        # ---------------- the push loop (block-local) ----------------
+        def active_of(r_, deg_):
+            if mode == FORWARD:
+                th = cfg.eps * jnp.maximum(deg_, 1).astype(dtype)
+                return jnp.abs(r_) > th[:, None]
+            return jnp.abs(r_) > jnp.asarray(cfg.eps, dtype)
+
+        def wl_push_loop(p, r, deg, snap, cand0, ok0):
+            """Per-shard body. cand0: [wcarry] UNIQUE local row ids (pad
+            n_local); caller guarantees cand0 covers every locally-active
+            row when ok0 is 1 (else the first round is a dense rescan)."""
+            alpha = jnp.asarray(alpha_f, dtype)
+            beta = (1.0 - alpha) / alpha
+            s_loc = p.shape[1]
+            inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
+            dangling = (deg == 0)[:, None]
+            soff, snbr, srl = snap["soff"], snap["snbr"], snap["srl"]
+            slane = snap["slane"]
+            f_off, f_nbr, f_len = snap["f_off"], snap["f_nbr"], snap["f_len"]
+            fr_gat, fr_sca = snap["fr_gat"], snap["fr_sca"]
+
+            def counts_of(rows, live):
+                fed = jnp.sum(jnp.where(live, srl[jnp.clip(rows, 0, n_local - 1)], 0),
+                              dtype=jnp.int32)
+                fre = jnp.sum(jnp.where(live, f_len[jnp.clip(rows, 0, n_local - 1)], 0),
+                              dtype=jnp.int32)
+                return fed, fre
+
+            def compact_round(i, c):
+                w_i, e_i, g_i = tiers[i]
+                (p, r, cand, cn, fed, fre, okf, carry, pend, stats) = c
+                candw = cand[:w_i]
+                cc = jnp.clip(candw, 0, n_local - 1)
+                live = candw < n_local
+                r_c = jnp.where(live[:, None], r[cc], jnp.zeros((), dtype))
+                deg_c = deg[cc]
+                if mode == FORWARD:
+                    th = cfg.eps * jnp.maximum(deg_c, 1).astype(dtype)
+                    act = jnp.abs(r_c) > th[:, None]
+                else:
+                    act = jnp.abs(r_c) > jnp.asarray(cfg.eps, dtype)
+                act = jnp.logical_and(act, live[:, None])
+                mass = jnp.where(act, r_c, jnp.zeros((), dtype))
+                dang_c = (deg_c == 0)[:, None]
+                p = p.at[cc].add(jnp.where(dang_c, mass, alpha * mass))
+                r = r.at[cc].add(-mass)
+                if mode == FORWARD:
+                    inv_c = 1.0 / jnp.maximum(deg_c, 1).astype(dtype)
+                    moving = (1.0 - alpha) * mass * inv_c[:, None]
+                else:
+                    moving = jnp.where(dang_c, beta * mass, (1.0 - alpha) * mass)
+                anyact = jnp.any(act, axis=1)
+                # snapshot + fresh expansion (targets are GLOBAL ids)
+                len1 = jnp.where(anyact, srl[cc], 0)
+                t1, pos1, val1 = rld_expand(soff[cc], len1, e_i)
+                g1 = jnp.where(val1, snbr[jnp.clip(pos1, 0, sstride - 1)], n_pad)
+                c1 = moving[t1] * (g1 < n_pad).astype(dtype)[:, None]
+                len2 = jnp.where(anyact, f_len[cc], 0)
+                t2, pos2, val2 = rld_expand(f_off[cc], len2, g_i)
+                g2 = jnp.where(val2, f_nbr[jnp.clip(pos2, 0, fring - 1)], n_pad)
+                c2 = moving[t2] * (g2 < n_pad).astype(dtype)[:, None]
+                ids = jnp.concatenate([g1, g2])  # [L], invalid = n_pad
+                vals = jnp.concatenate([c1, c2])
+                L = e_i + g_i
+                lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+                # winner-dedup over GLOBAL target ids
+                scratch = jnp.zeros(n_pad + 1, jnp.int32).at[ids].set(lane)
+                win = jnp.logical_and(scratch[ids] == lane, ids < n_pad)
+                ucnt = jnp.sum(win, dtype=jnp.int32)
+                (cpos,) = jnp.nonzero(win, size=L, fill_value=0)
+                inr = jax.lax.broadcasted_iota(jnp.int32, (L,), 0) < ucnt
+                uids = jnp.where(inr, ids[cpos], n_pad)
+                # compact per-target mass: every lane adds into its winner row
+                cidx = jnp.zeros(n_pad + 1, jnp.int32).at[uids].set(lane)
+                cbuf = jnp.zeros((L, s_loc), dtype).at[cidx[ids]].add(vals)
+                # bucket unique targets by owner shard
+                owner = jnp.where(inr, uids // n_local, K)
+                rank = jnp.zeros(L, jnp.int32)
+                for k in range(K):
+                    mk = owner == k
+                    rank = jnp.where(mk, jnp.cumsum(mk.astype(jnp.int32)) - 1, rank)
+                sendable = jnp.logical_and(owner < K, rank < ccap)
+                flat = jnp.where(sendable, owner * ccap + rank, K * ccap)
+                send_ids = jnp.full(K * ccap + 1, n_local, jnp.int32).at[flat].set(
+                    jnp.where(sendable, uids - owner * n_local, n_local)
+                )[: K * ccap]
+                send_mass = jnp.zeros((K * ccap + 1, s_loc), dtype).at[flat].set(
+                    cbuf * sendable[:, None].astype(dtype)
+                )[: K * ccap]
+                # leftovers wait in the carry outbox (flushed by dense rounds)
+                left = jnp.logical_and(owner < K, rank >= ccap)
+                carry = carry.at[jnp.clip(uids, 0, n_pad - 1)].add(
+                    cbuf * left[:, None].astype(dtype)
+                )
+                pend = pend + jnp.sum(left, dtype=jnp.int32)
+                # THE exchange: one all_to_all of (local id, mass) buckets
+                recv_ids = jax.lax.all_to_all(
+                    send_ids.reshape(K, ccap), "rows",
+                    split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(-1)
+                recv_mass = jax.lax.all_to_all(
+                    send_mass.reshape(K, ccap, s_loc), "rows",
+                    split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(-1, s_loc)
+                rc = jnp.clip(recv_ids, 0, n_local - 1)
+                if mode == FORWARD:
+                    r = r.at[rc].add(recv_mass)
+                else:
+                    r = r.at[rc].add(recv_mass * inv_deg[rc])
+                # next candidates = dedup of delivered local ids
+                M = K * ccap
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+                scr2 = jnp.zeros(n_local + 1, jnp.int32).at[recv_ids].set(lane2)
+                win2 = jnp.logical_and(scr2[recv_ids] == lane2, recv_ids < n_local)
+                cn2 = jnp.sum(win2, dtype=jnp.int32)
+                (cp2,) = jnp.nonzero(win2, size=min(M, wcarry), fill_value=0)
+                inr2 = jax.lax.broadcasted_iota(jnp.int32, (min(M, wcarry),), 0) < cn2
+                cand2 = jnp.where(inr2, recv_ids[cp2], n_local)
+                if cand2.shape[0] < wcarry:
+                    cand2 = jnp.concatenate(
+                        [cand2, jnp.full(wcarry - cand2.shape[0], n_local, jnp.int32)]
+                    )
+                fed2 = jnp.sum(jnp.where(win2, srl[rc], 0), dtype=jnp.int32)
+                fre2 = jnp.sum(jnp.where(win2, f_len[rc], 0), dtype=jnp.int32)
+                ok2 = (cn2 <= wcarry).astype(jnp.int32)
+                na = jnp.sum(act, dtype=jnp.float32)
+                ew = jnp.sum(
+                    act * (srl[cc] + f_len[cc])[:, None], dtype=jnp.float32
+                )
+                stats2 = (stats[0] + 1, stats[1] + na, stats[2] + ew, stats[3] + 1)
+                return (p, r, cand2, cn2, fed2, fre2, ok2, carry, pend, stats2), na
+
+            def dense_round(c):
+                (p, r, cand, cn, fed, fre, okf, carry, pend, stats) = c
+                act = active_of(r, deg)
+                mass = jnp.where(act, r, jnp.zeros((), dtype))
+                p = p + jnp.where(dangling, mass, alpha * mass)
+                r = r - mass
+                if mode == FORWARD:
+                    moving = (1.0 - alpha) * mass * inv_deg
+                else:
+                    moving = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
+                c1 = moving[slane] * (snbr < n_pad).astype(dtype)[:, None]
+                acc = jnp.zeros((n_pad, mass.shape[1]), dtype).at[
+                    jnp.clip(snbr, 0, n_pad - 1)
+                ].add(c1)
+                fg = jnp.clip(fr_gat, 0, n_local - 1)
+                c2 = moving[fg] * (fr_sca < n_pad).astype(dtype)[:, None]
+                acc = acc.at[jnp.clip(fr_sca, 0, n_pad - 1)].add(c2)
+                acc = acc + carry  # flush the outbox exactly
+                carry = jnp.zeros_like(carry)
+                pend = jnp.zeros((), jnp.int32)
+                delta = jax.lax.psum_scatter(
+                    acc, "rows", scatter_dimension=0, tiled=True
+                )
+                if mode == FORWARD:
+                    r = r + delta
+                else:
+                    r = r + delta * inv_deg
+                # exact rescan reseed
+                act2 = active_of(r, deg)
+                any2 = jnp.any(act2, axis=1)
+                cn2 = jnp.sum(any2, dtype=jnp.int32)
+                (idx2,) = jnp.nonzero(any2, size=wcarry, fill_value=n_local)
+                cand2 = idx2.astype(jnp.int32)
+                fed2 = jnp.sum(jnp.where(any2, srl, 0), dtype=jnp.int32)
+                fre2 = jnp.sum(jnp.where(any2, f_len, 0), dtype=jnp.int32)
+                ok2 = (cn2 <= wcarry).astype(jnp.int32)
+                na = jnp.sum(act, dtype=jnp.float32)
+                ew = jnp.sum(act * (srl + f_len)[:, None], dtype=jnp.float32)
+                stats2 = (stats[0] + 1, stats[1] + na, stats[2] + ew, stats[3])
+                return (p, r, cand2, cn2, fed2, fre2, ok2, carry, pend, stats2), na
+
+            def body(c):
+                (p_, r_, cand, cn, fed, fre, okf, carry, pend, stats, _na) = c
+                # UNIFORM (along 'rows') decision: all shards of one a2a
+                # group must take the same branch
+                cn_g = jax.lax.pmax(cn, "rows")
+                fed_g = jax.lax.pmax(fed, "rows")
+                fre_g = jax.lax.pmax(fre, "rows")
+                ok_g = jax.lax.pmin(okf, "rows")
+                pend_g = jax.lax.pmax(pend, "rows")
+                w_t, e_t, g_t = tiers[-1]
+                fits_top = jnp.logical_and(
+                    jnp.logical_and(cn_g <= w_t, fed_g <= e_t), fre_g <= g_t
+                )
+                use_wl = jnp.logical_and(
+                    jnp.logical_and(ok_g > 0, fits_top), pend_g == 0
+                )
+                if len(tiers) == 1:
+                    miss = jnp.zeros((), jnp.int32)
+                else:
+                    miss = sum(
+                        jnp.logical_not(
+                            jnp.logical_and(
+                                jnp.logical_and(cn_g <= w_i, fed_g <= e_i),
+                                fre_g <= g_i,
+                            )
+                        ).astype(jnp.int32)
+                        for (w_i, e_i, g_i) in tiers[:-1]
+                    )
+                branch = jnp.where(use_wl, miss, len(tiers))
+                state = (p_, r_, cand, cn, fed, fre, okf, carry, pend, stats)
+                branches = [
+                    functools.partial(compact_round, i) for i in range(len(tiers))
+                ] + [dense_round]
+                state2, na_loc = jax.lax.switch(branch, branches, state)
+                (p2, r2, cand2, cn2, fed2, fre2, ok2, carry2, pend2, stats2) = state2
+                na = jax.lax.psum(na_loc, ("rows", "srcs"))
+                pend_any = jax.lax.psum(
+                    (pend2 > 0).astype(jnp.float32), ("rows", "srcs")
+                )
+                work = na + pend_any
+                return (p2, r2, cand2, cn2, fed2, fre2, ok2, carry2, pend2,
+                        stats2, work)
+
+            def cond(c):
+                *_, stats, work = c
+                return jnp.logical_and(work > 0, stats[0] < cfg.max_rounds)
+
+            live0 = cand0 < n_local
+            cn0 = jnp.sum(live0, dtype=jnp.int32)
+            fed0, fre0 = counts_of(cand0, live0)
+            carry0 = jnp.zeros((n_pad, s_loc), dtype)
+            stats0 = (
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+            )
+            init = (
+                p, r, cand0, cn0, fed0, fre0,
+                jnp.asarray(ok0, jnp.int32), carry0, jnp.zeros((), jnp.int32),
+                stats0, jnp.asarray(1.0, jnp.float32),
+            )
+            out = jax.lax.while_loop(cond, body, init)
+            p, r = out[0], out[1]
+            stats = out[9]
+            rounds = stats[0]
+            pushes = jax.lax.psum(stats[1], ("rows", "srcs"))
+            epushes = jax.lax.psum(stats[2], ("rows", "srcs"))
+            wl_rounds = stats[3]
+            return p, r, rounds, pushes, epushes, wl_rounds
+
+        self._wl_loop_body = wl_push_loop
+
+        snap_specs = {
+            "soff": spec_row, "snbr": spec_row, "srl": spec_row,
+            "spos": spec_row, "slane": spec_row,
+            "fr_gat": spec_row, "fr_sca": spec_row,
+            "f_off": spec_row, "f_nbr": spec_row, "f_len": spec_row,
+            "fcnt": spec_row,
+        }
+        self._snap_specs = snap_specs
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @functools.partial(
+            smap,
+            in_specs=(spec_state, spec_state, spec_row, snap_specs,
+                      spec_row, rep),
+            out_specs=(spec_state, spec_state, rep, rep, rep, rep),
+        )
+        def push_fn(p, r, deg, snap, cand0, ok0):
+            return wl_push_loop(p, r, deg, snap, cand0, ok0)
+
+        self._wl_push = push_fn
+
+    # ------------------------------------------------------------------
+    def push_wl(self, p, r, deg, snap, cand0=None, ok0=0):
+        """Push to convergence with the compact-frontier loop. With no
+        cand0, the first round is a dense rescan (exact)."""
+        if cand0 is None:
+            cand0 = jax.device_put(
+                jnp.full(self.n_rows * self.wcarry, self.n_local, jnp.int32),
+                NamedSharding(self.mesh, self.row_spec),
+            )
+            ok0 = 0
+        return self._wl_push(p, r, deg, snap, cand0, jnp.asarray(ok0, jnp.int32))
+
+    def cand0_rows(self, rows_per_shard: np.ndarray):
+        """Host helper: pack per-shard LOCAL candidate row lists (each
+        [wcarry], padded with n_local) into the sharded device array."""
+        return jax.device_put(
+            jnp.asarray(rows_per_shard.reshape(-1)),
+            NamedSharding(self.mesh, self.row_spec),
+        )
