@@ -180,11 +180,23 @@ def config4_retrieval(scale: int = 1, s: int = 512, k: int = 100) -> dict:
     }
 
 
-def config5_sharded(n_rows: int = 0, n_srcs: int = 1) -> dict:
+def config5_sharded(
+    n_rows: int = 0,
+    n_srcs: int = 1,
+    engine: str = "wl",
+    n: int = 0,
+    w: int = 0,
+    b: int = 0,
+    s: int = 0,
+    steps: int = 5,
+) -> dict:
     """Pod-scale row-sharded slide step (runs on however many devices exist;
-    the 8-device CPU mesh in tests, real chips on a pod)."""
+    the 8-device CPU mesh in tests, real chips on a pod). Default engine is
+    the compact-frontier 'wl' path (bucketed a2a frontier exchange,
+    SURVEY.md §3.5); pass engine='dense' for the reduce-scatter baseline.
+    Shape overrides (n/w/b/s) allow running the single-chip headline shapes
+    for the per-chip comparison (VERDICT round-1 item 2)."""
     import jax
-    import jax.numpy as jnp
 
     from pprx.config import PprConfig, StreamConfig
     from pprx.dist.mesh import make_row_mesh
@@ -194,30 +206,39 @@ def config5_sharded(n_rows: int = 0, n_srcs: int = 1) -> dict:
     if n_rows == 0:
         n_rows = max(1, len(jax.devices()) // n_srcs)
     mesh = make_row_mesh(n_rows, n_srcs)
-    n, w, b = 20_000, 200_000, 2_000
-    steps = 5
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + 3) * b, seed=5)
+    n = n or 20_000
+    w = w or 200_000
+    b = b or 2_000
+    s = s or 2 * n_srcs
+    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + 4) * b, seed=5)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = ShardedStreamDriver(
-        src, dst, n, list(range(2 * n_srcs)), cfg, StreamConfig(window=w, slide=b), mesh
+        src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),
+        mesh, engine=engine,
     )
     drv.seed()
-    for _ in drv.run(2):
+    for _ in drv.run(3):
         pass
     _sync(drv.p)
     t0 = time.perf_counter()
     stats = list(drv.run(steps))
     _sync(drv.p)
     wall = time.perf_counter() - t0
+    chips = n_rows * n_srcs
     return {
         "config": 5,
         "mesh": f"{n_rows}x{n_srcs}",
+        "engine": engine,
         "n": n,
         "window": w,
+        "slide": b,
+        "sources": s,
         "steps": steps,
         "wall_s": round(wall, 4),
         "updates_per_sec": round(2 * b * steps / wall, 1),
-        "rounds": sum(s["rounds"] for s in stats),
+        "updates_per_sec_per_chip": round(2 * b * steps / wall / chips, 1),
+        "rounds": sum(st["rounds"] for st in stats),
+        "wl_rounds": sum(st.get("wl_rounds", 0) for st in stats),
     }
 
 

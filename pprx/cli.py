@@ -140,6 +140,7 @@ class _DictStats:
         self.rounds = d["rounds"]
         self.pushes = d["pushes"]
         self.edge_pushes = d["edge_pushes"]
+        self.wl_rounds = d.get("wl_rounds", 0)
 
 
 def _make_stream_driver(args, src, dst, n, queries, scfg):
@@ -151,7 +152,7 @@ def _make_stream_driver(args, src, dst, n, queries, scfg):
     from pprx.graph.stream import StreamDriver
 
     common = dict(mode=_mode(args), dtype=_dtype(args))
-    if args.engine == "sharded":
+    if args.engine in ("sharded", "sharded-wl"):
         import jax
 
         from pprx.dist.init import init_distributed
@@ -165,7 +166,8 @@ def _make_stream_driver(args, src, dst, n, queries, scfg):
             rows, srcs = len(jax.devices()), 1
         mesh = make_row_mesh(rows, srcs)
         return ShardedStreamDriver(
-            src, dst, n, queries, _cfg(args), scfg, mesh, ecap=args.ecap, **common
+            src, dst, n, queries, _cfg(args), scfg, mesh, ecap=args.ecap,
+            engine="wl" if args.engine == "sharded-wl" else "dense", **common
         ), rows * srcs
     ctor = {
         "fast": FastStreamDriver,
@@ -184,7 +186,7 @@ def cmd_stream(args):
     queries = [int(q) for q in args.queries.split(",")]
     scfg = StreamConfig(window=args.window, slide=args.slide)
     drv, n_chips = _make_stream_driver(args, src, dst, n, queries, scfg)
-    sharded = args.engine == "sharded"
+    sharded = args.engine in ("sharded", "sharded-wl")
     with JsonlLogger(args.log) as log:
         seed_stats = drv.seed()
         if sharded:
@@ -294,10 +296,11 @@ def main(argv=None):
     p.add_argument("--slide", type=int, required=True)
     p.add_argument(
         "--engine",
-        choices=["fast", "hybrid", "dense", "sharded"],
+        choices=["fast", "hybrid", "dense", "sharded", "sharded-wl"],
         default="fast",
         help="fast = compact-frontier wl2 engine (default); sharded = "
-        "row-sharded multi-device/multi-host engine",
+        "row-sharded multi-device/multi-host engine (dense rounds); "
+        "sharded-wl = row-sharded compact-frontier rounds (bucketed a2a)",
     )
     p.add_argument(
         "--mesh",

@@ -103,6 +103,101 @@ def partition_edges(
     return EdgePartition(gl, og, va, counts)
 
 
+def forward_corrections(
+    p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v, alpha_f, dtype, n_pad
+):
+    """Block-local forward-mode batched corrections (invariant-exact rules,
+    see pprx.engine.update): delete phase at old degrees, then insert phase
+    at post-delete degrees. Returns (p, r, acc, deg2) — ``acc`` is the
+    [n_pad, S] cross-shard correction delivery the caller reduce-scatters.
+    Shared by the dense slide and the wl slide (pprx.dist.wl)."""
+    alpha = jnp.asarray(alpha_f, dtype)
+    beta = (1.0 - alpha) / alpha
+    nloc = deg.shape[0]
+    d0 = deg
+    d0f = jnp.maximum(d0, 1).astype(dtype)
+    del_vf = del_v.astype(dtype)[:, None]
+    ins_vf = ins_v.astype(dtype)[:, None]
+    acc = jnp.zeros((n_pad, p.shape[1]), dtype)
+
+    # ---- delete phase (old p, old degrees) ----
+    k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
+    per_edge = beta * p[del_u] / d0f[del_u, None] * del_vf
+    acc = acc.at[del_w].add(-per_edge)
+    D = d0 - k_del
+    touched = k_del > 0
+    full = jnp.logical_and(touched, D == 0)
+    scale_p = jnp.where(
+        touched, jnp.where(D >= 1, D, 1).astype(dtype) / d0f, jnp.ones((), dtype)
+    )
+    num = jnp.where(full, k_del.astype(dtype) - alpha, k_del.astype(dtype))
+    r_add = jnp.where(touched, num / (alpha * d0f), jnp.zeros((), dtype))
+    r = r + r_add[:, None] * p
+    p = p * scale_p[:, None]
+
+    # ---- insert phase (post-delete p and degrees) ----
+    d1 = D
+    d1f = jnp.maximum(d1, 1).astype(dtype)
+    k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
+    per_edge = beta * p[ins_u] / d1f[ins_u, None] * ins_vf
+    acc = acc.at[ins_w].add(per_edge)
+    touched = k_ins > 0
+    from_dang = jnp.logical_and(touched, d1 == 0)
+    scale_p = jnp.where(
+        touched,
+        jnp.where(from_dang, k_ins.astype(dtype), (d1 + k_ins).astype(dtype) / d1f),
+        jnp.ones((), dtype),
+    )
+    num = jnp.where(from_dang, k_ins.astype(dtype) - alpha, k_ins.astype(dtype))
+    denom = jnp.where(from_dang, alpha, alpha * d1f)
+    r_sub = jnp.where(touched, num / denom, jnp.zeros((), dtype))
+    r = r - r_sub[:, None] * p
+    p = p * scale_p[:, None]
+    return p, r, acc, d1 + k_ins
+
+
+def reverse_corrections(
+    p, r, deg, egl, eog, eva,
+    del_u, del_v, ins_u, ins_v,
+    clear_slots, write_slots, write_dl, write_sg, write_v,
+    alpha_f, dtype, n_pad,
+):
+    """Block-local reverse-mode batched corrections + window-buffer
+    mutation: row-sum deltas fused into ONE stacked reduce-scatter (see the
+    derivation notes in the reverse slide builder). Returns
+    (p, r, d_new, egl2, eog2, eva2)."""
+    alpha = jnp.asarray(alpha_f, dtype)
+    beta = (1.0 - alpha) / alpha
+    nloc = deg.shape[0]
+    s_loc = p.shape[1]
+
+    acc = jnp.zeros((n_pad, 2 * s_loc), dtype)
+    contrib = p[egl] * eva.astype(dtype)[:, None]
+    acc = acc.at[eog, :s_loc].add(contrib)
+    old_v = eva[clear_slots].astype(dtype)[:, None]
+    acc = acc.at[eog[clear_slots], s_loc:].add(-p[egl[clear_slots]] * old_v)
+    acc = acc.at[write_sg, s_loc:].add(p[write_dl] * write_v.astype(dtype)[:, None])
+    red = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
+    s_old = red[:, :s_loc]
+    s_new = s_old + red[:, s_loc:]
+
+    eva2 = eva.at[clear_slots].set(0)
+    egl2 = egl.at[write_slots].set(write_dl)
+    eog2 = eog.at[write_slots].set(write_sg)
+    eva2 = eva2.at[write_slots].set(write_v)
+    eva2 = eva2.at[-1].set(0)
+
+    k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
+    k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
+    d_new = deg - k_del + k_ins
+    d0f = jnp.maximum(deg, 1).astype(dtype)
+    dnf = jnp.maximum(d_new, 1).astype(dtype)
+    pp_old = jnp.where((deg == 0)[:, None], p, s_old / d0f[:, None])
+    pp_new = jnp.where((d_new == 0)[:, None], p, s_new / dnf[:, None])
+    r = r + beta * (pp_new - pp_old)
+    return p, r, d_new, egl2, eog2, eva2
+
+
 class ShardedEngine:
     """Factory of jitted sharded programs for one (mesh, shapes, cfg, mode).
 
@@ -307,52 +402,12 @@ class ShardedEngine:
             """Forward slide. Batches are partitioned by src owner; entry i of
             the insert batch is written to local slot write_slots[i] (trash
             slot for padding). clear_slots are the expiring edges' slots."""
-            alpha = jnp.asarray(alpha_f, dtype)
-            beta = (1.0 - alpha) / alpha
-            nloc = deg.shape[0]
-            d0 = deg
-            d0f = jnp.maximum(d0, 1).astype(dtype)
-            del_vf = del_v.astype(dtype)[:, None]
-            ins_vf = ins_v.astype(dtype)[:, None]
-            acc = jnp.zeros((n_pad, p.shape[1]), dtype)
-
-            # ---- delete phase (old p, old degrees) ----
-            k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
-            per_edge = beta * p[del_u] / d0f[del_u, None] * del_vf
-            acc = acc.at[del_w].add(-per_edge)
-            D = d0 - k_del
-            touched = k_del > 0
-            full = jnp.logical_and(touched, D == 0)
-            scale_p = jnp.where(
-                touched, jnp.where(D >= 1, D, 1).astype(dtype) / d0f, jnp.ones((), dtype)
+            p, r, acc, deg2 = forward_corrections(
+                p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
+                alpha_f, dtype, n_pad,
             )
-            num = jnp.where(full, k_del.astype(dtype) - alpha, k_del.astype(dtype))
-            r_add = jnp.where(touched, num / (alpha * d0f), jnp.zeros((), dtype))
-            r = r + r_add[:, None] * p
-            p = p * scale_p[:, None]
-
-            # ---- insert phase (post-delete p and degrees) ----
-            d1 = D
-            d1f = jnp.maximum(d1, 1).astype(dtype)
-            k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
-            per_edge = beta * p[ins_u] / d1f[ins_u, None] * ins_vf
-            acc = acc.at[ins_w].add(per_edge)
-            touched = k_ins > 0
-            from_dang = jnp.logical_and(touched, d1 == 0)
-            scale_p = jnp.where(
-                touched,
-                jnp.where(from_dang, k_ins.astype(dtype), (d1 + k_ins).astype(dtype) / d1f),
-                jnp.ones((), dtype),
-            )
-            num = jnp.where(from_dang, k_ins.astype(dtype) - alpha, k_ins.astype(dtype))
-            denom = jnp.where(from_dang, alpha, alpha * d1f)
-            r_sub = jnp.where(touched, num / denom, jnp.zeros((), dtype))
-            r = r - r_sub[:, None] * p
-            p = p * scale_p[:, None]
-
             delta = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
             r = r + delta
-            deg2 = d1 + k_ins
 
             # ---- window buffer mutation (local; padding hits trash slot) ----
             eva2 = eva.at[clear_slots].set(0)
@@ -385,45 +440,14 @@ class ShardedEngine:
             clear_slots, write_slots,                  # by-DST-owner slot ops
             write_dl, write_sg, write_v,               # new edges: dst local, src global
         ):
-            alpha = jnp.asarray(alpha_f, dtype)
-            beta = (1.0 - alpha) / alpha
-            nloc = deg.shape[0]
-            s_loc = p.shape[1]
-
-            # Row sums before/after the slide. s_new differs from s_old only
-            # at the 2b batch edges, so instead of a second full edge sweep,
-            # accumulate the batch DELTA (expiring edges negative at their
-            # OLD buffer values, fresh edges positive) and fuse both
-            # reductions into ONE psum_scatter over a stacked [n_pad, 2S]
-            # accumulator (same collective bytes, one full gather+scatter
-            # and one collective launch saved per slide).
-            acc = jnp.zeros((n_pad, 2 * s_loc), dtype)
-            contrib = p[egl] * eva.astype(dtype)[:, None]
-            acc = acc.at[eog, :s_loc].add(contrib)
-            old_v = eva[clear_slots].astype(dtype)[:, None]
-            acc = acc.at[eog[clear_slots], s_loc:].add(-p[egl[clear_slots]] * old_v)
-            acc = acc.at[write_sg, s_loc:].add(
-                p[write_dl] * write_v.astype(dtype)[:, None]
+            # Row sums before/after the slide fuse into ONE stacked
+            # psum_scatter — see reverse_corrections.
+            p, r, d_new, egl2, eog2, eva2 = reverse_corrections(
+                p, r, deg, egl, eog, eva,
+                del_u, del_v, ins_u, ins_v,
+                clear_slots, write_slots, write_dl, write_sg, write_v,
+                alpha_f, dtype, n_pad,
             )
-            red = jax.lax.psum_scatter(acc, "rows", scatter_dimension=0, tiled=True)
-            s_old = red[:, :s_loc]
-            s_new = s_old + red[:, s_loc:]
-
-            eva2 = eva.at[clear_slots].set(0)
-            egl2 = egl.at[write_slots].set(write_dl)
-            eog2 = eog.at[write_slots].set(write_sg)
-            eva2 = eva2.at[write_slots].set(write_v)
-            eva2 = eva2.at[-1].set(0)
-
-            k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
-            k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
-            d_new = deg - k_del + k_ins
-            d0f = jnp.maximum(deg, 1).astype(dtype)
-            dnf = jnp.maximum(d_new, 1).astype(dtype)
-            pp_old = jnp.where((deg == 0)[:, None], p, s_old / d0f[:, None])
-            pp_new = jnp.where((d_new == 0)[:, None], p, s_new / dnf[:, None])
-            r = r + beta * (pp_new - pp_old)
-
             p, r, rounds, pushes, epushes = push_loop(p, r, d_new, egl2, eog2, eva2)
             return p, r, rounds, pushes, epushes, d_new, egl2, eog2, eva2
 

@@ -68,32 +68,58 @@ class ShardedStreamDriver:
         mode: int = FORWARD,
         ecap: int | None = None,
         dtype=jnp.float32,
+        engine: str = "dense",
+        ccap: int = 2048,
+        fring: int | None = None,
     ):
+        """engine: 'dense' (reduce-scatter rounds, pprx.dist.sharded) or
+        'wl' (compact-frontier rounds with bucketed a2a, pprx.dist.wl)."""
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
+        if engine not in ("dense", "wl"):
+            raise ValueError(f"unknown sharded engine {engine!r}")
         self.stream_src = np.asarray(stream_src, dtype=np.int32)
         self.stream_dst = np.asarray(stream_dst, dtype=np.int32)
         self.n = n
         self.cfg = cfg
         self.scfg = scfg
         self.mode = mode
+        self._wl = engine == "wl"
         w = scfg.window
         queries = list(queries)
-        self.eng = ShardedEngine(
-            mesh,
-            n,
-            len(queries),
-            ecap=w if ecap is None else ecap,
-            bcap=scfg.slide,
-            cfg=cfg,
-            mode=mode,
-            dtype=dtype,
-        )
+        if self._wl:
+            from pprx.dist.wl import ShardedWlEngine
+
+            self.eng = ShardedWlEngine(
+                mesh, n, len(queries),
+                ecap=w if ecap is None else ecap,
+                bcap=scfg.slide, cfg=cfg, mode=mode, dtype=dtype,
+                ccap=ccap, fring=fring,
+            )
+        else:
+            self.eng = ShardedEngine(
+                mesh,
+                n,
+                len(queries),
+                ecap=w if ecap is None else ecap,
+                bcap=scfg.slide,
+                cfg=cfg,
+                mode=mode,
+                dtype=dtype,
+            )
         eng = self.eng
         self.p, self.r = eng.init_state(queries)
-        self.deg, self.egl, self.eog, self.eva, counts = eng.device_graph(
-            self.stream_src[:w], self.stream_dst[:w]
-        )
+        if self._wl:
+            (self.deg, self.egl, self.eog, self.eva, counts,
+             self.snap) = eng.device_graph_wl(
+                self.stream_src[:w], self.stream_dst[:w]
+            )
+            self._fcnt_host = np.zeros(eng.n_rows, np.int64)
+            self._since_rb = 0
+        else:
+            self.deg, self.egl, self.eog, self.eva, counts = eng.device_graph(
+                self.stream_src[:w], self.stream_dst[:w]
+            )
         # host slot bookkeeping: stream position -> (owner shard, local slot)
         self._gather_key = (
             self.stream_src if mode == FORWARD else self.stream_dst
@@ -129,6 +155,14 @@ class ShardedStreamDriver:
         return jax.device_put(jnp.asarray(packed), self._row_sh)
 
     def seed(self):
+        if self._wl:
+            (self.p, self.r, rounds, pushes, epushes, wl) = self.eng.push_wl(
+                self.p, self.r, self.deg, self.snap
+            )
+            return {
+                "rounds": int(rounds), "pushes": float(pushes),
+                "edge_pushes": float(epushes), "wl_rounds": int(wl),
+            }
         self.p, self.r, rounds, pushes, epushes = self.eng.push(
             self.p, self.r, self.deg, self.egl, self.eog, self.eva
         )
@@ -203,10 +237,65 @@ class ShardedStreamDriver:
                 write_dl = _pack(flat_w, (dstv[fresh] - gn * n_local).astype(np.int32), K * b)
                 write_sg = _pack(flat_w, src[fresh].astype(np.int32), K * b)
                 write_v = _pack(flat_w, ones, K * b)
+            wl_extra = {}
+            if self._wl:
+                # candidate seed: every row the corrections touch, unique,
+                # partitioned by owner (u rows by src owner; forward mode
+                # also the correction-delivery targets w)
+                if self.mode == FORWARD:
+                    ids = np.unique(np.concatenate(
+                        [src[expire], src[fresh], dstv[expire], dstv[fresh]]
+                    ))
+                else:
+                    ids = np.unique(np.concatenate([src[expire], src[fresh]]))
+                own = ids // n_local
+                wc = eng.wcarry
+                cnts = np.bincount(own, minlength=K)
+                assert cnts.max() <= wc, "cand0 overflow (wcarry < 4b?)"
+                starts = np.zeros(K + 1, np.int64)
+                np.cumsum(cnts, out=starts[1:])
+                rank = np.arange(ids.size, dtype=np.int64) - np.repeat(
+                    starts[:-1], cnts
+                )
+                cand_rows = np.full(K * wc, eng.n_local, np.int32)
+                cand_rows[own.astype(np.int64) * wc + rank] = (
+                    ids - own * n_local
+                ).astype(np.int32)
+                # rebuild before the slide if the fresh ring would overflow
+                # or the oldest fresh edge would outlive the window
+                if (
+                    (self._fcnt_host + cnt_w > eng.fring).any()
+                    or (self._since_rb + 1) * b > self.scfg.window
+                ):
+                    self.snap = eng.rebuild(self.egl, self.eog, self.eva)
+                    self._fcnt_host[:] = 0
+                    self._since_rb = 0
             self.last_host_ms = (time.perf_counter() - t_host) * 1e3
 
             A = self._rows_array
-            if self.mode == FORWARD:
+            if self._wl:
+                if self.mode == FORWARD:
+                    out = eng.slide_wl(
+                        self.p, self.r, self.deg, self.egl, self.eog, self.eva,
+                        self.snap, A(cand_rows),
+                        A(del_u), A(del_w), A(del_v),
+                        A(ins_u), A(ins_w), A(ins_v),
+                        A(clear_slots), A(write_slots),
+                    )
+                else:
+                    out = eng.slide_wl(
+                        self.p, self.r, self.deg, self.egl, self.eog, self.eva,
+                        self.snap, A(cand_rows),
+                        A(del_u), A(del_v), A(ins_u), A(ins_v),
+                        A(clear_slots), A(write_slots),
+                        A(write_dl), A(write_sg), A(write_v),
+                    )
+                (self.p, self.r, rounds, pushes, epushes, wl,
+                 self.deg, self.egl, self.eog, self.eva, self.snap) = out
+                wl_extra = {"wl_rounds": int(wl)}
+                self._fcnt_host += cnt_w
+                self._since_rb += 1
+            elif self.mode == FORWARD:
                 # forward: write batches are the by-src-owner insert batches,
                 # which were filled in the same stream order per shard
                 out = eng.slide(
@@ -222,14 +311,16 @@ class ShardedStreamDriver:
                     A(clear_slots), A(write_slots),
                     A(write_dl), A(write_sg), A(write_v),
                 )
-            (self.p, self.r, rounds, pushes, epushes,
-             self.deg, self.egl, self.eog, self.eva) = out
+            if not self._wl:
+                (self.p, self.r, rounds, pushes, epushes,
+                 self.deg, self.egl, self.eog, self.eva) = out
             self.head += b
             self.step_idx += 1
             yield {
                 "rounds": int(rounds),
                 "pushes": float(pushes),
                 "edge_pushes": float(epushes),
+                **wl_extra,
             }
 
     # -- host views ----------------------------------------------------

@@ -45,7 +45,11 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from pprx.config import PprConfig
-from pprx.dist.sharded import ShardedEngine
+from pprx.dist.sharded import (
+    ShardedEngine,
+    forward_corrections,
+    reverse_corrections,
+)
 from pprx.engine.state import FORWARD
 from pprx.engine.wl2 import rld_expand
 
@@ -162,6 +166,8 @@ class ShardedWlEngine(ShardedEngine):
         smap = functools.partial(shard_map, mesh=mesh, check_vma=False)
 
         # ---------------- rebuild: slot buffers -> snapshot ----------------
+        RS = fring + 1  # fresh ring + trash slot (padding writes land there)
+
         @jax.jit
         @functools.partial(
             smap,
@@ -196,10 +202,10 @@ class ShardedWlEngine(ShardedEngine):
                 "srl": counts,
                 "spos": spos,
                 "slane": slane,
-                "fr_gat": jnp.full(fring, n_local, jnp.int32),
-                "fr_sca": jnp.full(fring, n_pad, jnp.int32),
+                "fr_gat": jnp.full(RS, n_local, jnp.int32),
+                "fr_sca": jnp.full(RS, n_pad, jnp.int32),
                 "f_off": jnp.zeros(n_local + 1, jnp.int32),
-                "f_nbr": jnp.full(fring, n_pad, jnp.int32),
+                "f_nbr": jnp.full(RS, n_pad, jnp.int32),
                 "f_len": jnp.zeros(n_local, jnp.int32),
                 "fcnt": jnp.zeros(1, jnp.int32),
             }
@@ -265,7 +271,7 @@ class ShardedWlEngine(ShardedEngine):
                 c1 = moving[t1] * (g1 < n_pad).astype(dtype)[:, None]
                 len2 = jnp.where(anyact, f_len[cc], 0)
                 t2, pos2, val2 = rld_expand(f_off[cc], len2, g_i)
-                g2 = jnp.where(val2, f_nbr[jnp.clip(pos2, 0, fring - 1)], n_pad)
+                g2 = jnp.where(val2, f_nbr[jnp.clip(pos2, 0, fring)], n_pad)
                 c2 = moving[t2] * (g2 < n_pad).astype(dtype)[:, None]
                 ids = jnp.concatenate([g1, g2])  # [L], invalid = n_pad
                 vals = jnp.concatenate([c1, c2])
@@ -471,6 +477,107 @@ class ShardedWlEngine(ShardedEngine):
 
         self._wl_push = push_fn
 
+        # ---------------- graph mutation (block-local) ----------------
+        def mutate_graph(snap, clear_slots, gat, sca, val):
+            """Kill expiring edges in the snapshot (their slots are
+            snapshot-era: the driver enforces the fresh ring never outlives
+            a window) and append the fresh batch (contiguous valid prefix
+            per shard; padding lands in the ring trash slot), then re-sort
+            the fresh mini-CSR."""
+            snbr2 = snap["snbr"].at[snap["spos"][clear_slots]].set(n_pad)
+            fcnt0 = snap["fcnt"][0]
+            bk = gat.shape[0]
+            pos = jnp.where(
+                val > 0,
+                fcnt0 + jax.lax.broadcasted_iota(jnp.int32, (bk,), 0),
+                fring,
+            )
+            fr_gat2 = snap["fr_gat"].at[pos].set(
+                jnp.where(val > 0, gat, n_local)
+            ).at[fring].set(n_local)
+            fr_sca2 = snap["fr_sca"].at[pos].set(
+                jnp.where(val > 0, sca, n_pad)
+            ).at[fring].set(n_pad)
+            f_len2 = snap["f_len"].at[jnp.clip(gat, 0, n_local - 1)].add(val)
+            order = jnp.argsort(fr_gat2, stable=True)
+            f_nbr2 = fr_sca2[order]
+            f_off2 = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(f_len2, dtype=jnp.int32)]
+            )
+            return {
+                **snap,
+                "snbr": snbr2,
+                "fr_gat": fr_gat2,
+                "fr_sca": fr_sca2,
+                "f_off": f_off2,
+                "f_nbr": f_nbr2,
+                "f_len": f_len2,
+                "fcnt": jnp.reshape(fcnt0 + jnp.sum(val, dtype=jnp.int32), (1,)),
+            }
+
+        # ---------------- slides ----------------
+        if mode == FORWARD:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6))
+            @functools.partial(
+                smap,
+                in_specs=(spec_state, spec_state, spec_row, spec_row, spec_row,
+                          spec_row, snap_specs, spec_row) + (spec_row,) * 8,
+                out_specs=(spec_state, spec_state, rep, rep, rep, rep,
+                           spec_row, spec_row, spec_row, spec_row, snap_specs),
+            )
+            def slide_fn(
+                p, r, deg, egl, eog, eva, snap, cand0,
+                del_u, del_w, del_v, ins_u, ins_w, ins_v,
+                clear_slots, write_slots,
+            ):
+                p, r, acc, deg2 = forward_corrections(
+                    p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
+                    alpha_f, dtype, n_pad,
+                )
+                delta = jax.lax.psum_scatter(
+                    acc, "rows", scatter_dimension=0, tiled=True
+                )
+                r = r + delta
+                eva2 = eva.at[clear_slots].set(0)
+                egl2 = egl.at[write_slots].set(ins_u)
+                eog2 = eog.at[write_slots].set(ins_w)
+                eva2 = eva2.at[write_slots].set(ins_v)
+                eva2 = eva2.at[-1].set(0)
+                snap2 = mutate_graph(snap, clear_slots, ins_u, ins_w, ins_v)
+                p, r, rounds, pushes, epushes, wl = wl_push_loop(
+                    p, r, deg2, snap2, cand0, jnp.ones((), jnp.int32)
+                )
+                return (p, r, rounds, pushes, epushes, wl,
+                        deg2, egl2, eog2, eva2, snap2)
+        else:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6))
+            @functools.partial(
+                smap,
+                in_specs=(spec_state, spec_state, spec_row, spec_row, spec_row,
+                          spec_row, snap_specs, spec_row) + (spec_row,) * 9,
+                out_specs=(spec_state, spec_state, rep, rep, rep, rep,
+                           spec_row, spec_row, spec_row, spec_row, snap_specs),
+            )
+            def slide_fn(
+                p, r, deg, egl, eog, eva, snap, cand0,
+                del_u, del_v, ins_u, ins_v,
+                clear_slots, write_slots, write_dl, write_sg, write_v,
+            ):
+                p, r, d_new, egl2, eog2, eva2 = reverse_corrections(
+                    p, r, deg, egl, eog, eva,
+                    del_u, del_v, ins_u, ins_v,
+                    clear_slots, write_slots, write_dl, write_sg, write_v,
+                    alpha_f, dtype, n_pad,
+                )
+                snap2 = mutate_graph(snap, clear_slots, write_dl, write_sg, write_v)
+                p, r, rounds, pushes, epushes, wl = wl_push_loop(
+                    p, r, d_new, snap2, cand0, jnp.ones((), jnp.int32)
+                )
+                return (p, r, rounds, pushes, epushes, wl,
+                        d_new, egl2, eog2, eva2, snap2)
+
+        self._wl_slide = slide_fn
+
     # ------------------------------------------------------------------
     def push_wl(self, p, r, deg, snap, cand0=None, ok0=0):
         """Push to convergence with the compact-frontier loop. With no
@@ -482,6 +589,13 @@ class ShardedWlEngine(ShardedEngine):
             )
             ok0 = 0
         return self._wl_push(p, r, deg, snap, cand0, jnp.asarray(ok0, jnp.int32))
+
+    def slide_wl(self, p, r, deg, egl, eog, eva, snap, cand0, *batches):
+        """One window slide on the compact-frontier push loop. ``cand0``
+        must be the host-built per-shard UNIQUE local ids of every row the
+        corrections touch (u rows by src owner; forward mode also the
+        correction-delivery targets w by their owner)."""
+        return self._wl_slide(p, r, deg, egl, eog, eva, snap, cand0, *batches)
 
     def cand0_rows(self, rows_per_shard: np.ndarray):
         """Host helper: pack per-shard LOCAL candidate row lists (each

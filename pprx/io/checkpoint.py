@@ -265,5 +265,6 @@ def load_sharded_checkpoint(
     drv.head = meta["head"]
     drv.step_idx = meta["step_idx"]
     drv.last_host_ms = 0.0
+    drv._wl = False  # sharded checkpoints cover the dense engine
     drv._row_sh = row_sh
     return drv

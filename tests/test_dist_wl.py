@@ -139,3 +139,68 @@ def test_wl_push_with_seed_candidates():
     np.testing.assert_allclose(np.asarray(p)[:n], p_ref, atol=1e-12)
     np.testing.assert_allclose(np.asarray(r)[:n], r_ref, atol=1e-12)
     assert int(wl_rounds) == int(rounds), "seeded run should never scan"
+
+
+@pytest.mark.parametrize("mode", [FORWARD, REVERSE])
+def test_wl_slide_matches_single_device(mode):
+    """Full dynamic parity for the sharded compact-frontier engine: the
+    same sliding stream on the wl-sharded and single-device engines, across
+    fresh-ring rebuild boundaries (small fring forces several rebuilds)."""
+    from pprx.config import StreamConfig
+    from pprx.dist.stream import ShardedStreamDriver
+    from pprx.graph.stream import StreamDriver
+
+    n, total = 40, 500
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=2)
+    scfg = StreamConfig(window=300, slide=25)
+    queries = [0, 5, 11, 33]
+
+    sd = StreamDriver(src, dst, n, queries, CFG, scfg, mode=mode, dtype=jnp.float64)
+    sd.seed()
+    for _ in sd.run(6):
+        pass
+
+    mesh = make_row_mesh(4, 1)
+    drv = ShardedStreamDriver(
+        src, dst, n, queries, CFG, scfg, mesh, mode=mode, dtype=jnp.float64,
+        engine="wl", ccap=64, fring=60,  # rebuild every ~2 slides
+    )
+    drv.seed()
+    stats = list(drv.run(6))
+    assert len(stats) == 6
+    assert sum(s["wl_rounds"] for s in stats) > 0
+
+    p_ref = np.asarray(sd.state.p)[:n]
+    r_ref = np.asarray(sd.state.r)[:n]
+    np.testing.assert_allclose(drv.host_p()[:n], p_ref, atol=1e-11)
+    np.testing.assert_allclose(drv.host_r()[:n], r_ref, atol=1e-11)
+    lo = drv.head - scfg.window
+    expect = np.bincount(src[lo : drv.head], minlength=n).astype(np.int32)
+    np.testing.assert_array_equal(drv.host_deg()[:n], expect)
+
+
+def test_wl_slide_overflow_stays_within_bound():
+    """Tiny bucket capacity during a sliding stream: carry/dense-flush
+    rounds reorder deliveries, so compare against exact PPR on the final
+    window (the engine's actual accuracy contract)."""
+    from pprx.config import StreamConfig
+    from pprx.dist.stream import ShardedStreamDriver
+    from pprx.ref.exact import exact_ppr
+
+    n, total = 40, 500
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=3)
+    scfg = StreamConfig(window=300, slide=25)
+    queries = [0, 5]
+    mesh = make_row_mesh(4, 1)
+    drv = ShardedStreamDriver(
+        src, dst, n, queries, CFG, scfg, mesh, mode=FORWARD, dtype=jnp.float64,
+        engine="wl", ccap=3, fring=60,
+    )
+    drv.seed()
+    for _ in drv.run(6):
+        pass
+    lo = drv.head - scfg.window
+    p = drv.host_p()
+    for qi, q in enumerate(queries):
+        pi = exact_ppr(src[lo:drv.head], dst[lo:drv.head], n, q, CFG.alpha, tol=1e-13)
+        assert np.abs(p[:n, qi] - pi).max() < 50 * CFG.eps
