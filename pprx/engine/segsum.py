@@ -48,9 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 # kernel chunk size ec ∈ {128, 256, ..., EC_PAD} divides the padded length.
 EC_PAD = 2048
 
+# Engine defaults (A/B swept on v5e at W=2M/S=128/N=200k — PERFORMANCE.md
+# round 2: tr=256/ec=1024/split3 is 3.0x the XLA sorted scatter AND closer
+# to the f64 truth than the XLA f32 scatter chain, 1.5e-7 vs 5.6e-7).
+SEGSUM_TR = 256
+SEGSUM_EC = 1024
+
 
 def _segsum_kernel(tile_off_ref, rin_ref, contrib_hbm, seg_hbm, out_ref,
-                   acc, cbuf, sbuf, sems, *, ec: int, tr: int):
+                   acc, cbuf, sbuf, sems, *, ec: int, tr: int,
+                   precision: str):
     i = pl.program_id(0)
     e_lo = tile_off_ref[i]
     e_hi = tile_off_ref[i + 1]
@@ -98,22 +105,47 @@ def _segsum_kernel(tile_off_ref, rin_ref, contrib_hbm, seg_hbm, out_ref,
             seg_row = sbuf[slot, pl.ds(gi, 1), :]  # [1, 128] int32
             m = (seg_row == row_ids).astype(acc.dtype)  # [tr, 128]
             c_g = cbuf[slot, pl.ds(gi * 128, 128), :]  # [128, S]
-            acc[...] += jnp.dot(m, c_g, preferred_element_type=acc.dtype)
+            if precision in ("split", "split3"):
+                # exact-one-hot m times a bf16 limb split of the values:
+                # each DEFAULT-precision MXU pass is exact (m's 0/1 entries
+                # are exact in bf16, limb products are exact, f32
+                # accumulation), so k limbs recover ~2^(-8k) relative
+                # accuracy. Only the values operand needs splitting —
+                # cheaper than Precision.HIGHEST's two-sided emulation.
+                hi = c_g.astype(jnp.bfloat16).astype(acc.dtype)
+                lo = c_g - hi
+                acc[...] += jnp.dot(m, hi, preferred_element_type=acc.dtype)
+                if precision == "split3":
+                    mid = lo.astype(jnp.bfloat16).astype(acc.dtype)
+                    acc[...] += jnp.dot(
+                        m, mid, preferred_element_type=acc.dtype
+                    )
+                    lo = lo - mid
+                acc[...] += jnp.dot(m, lo, preferred_element_type=acc.dtype)
+            else:
+                acc[...] += jnp.dot(
+                    m, c_g, preferred_element_type=acc.dtype,
+                    precision=(jax.lax.Precision.HIGHEST
+                               if precision == "highest" else None),
+                )
         return 0
 
     jax.lax.fori_loop(c0, c1, chunk_body, 0)
     out_ref[...] = rin_ref[...] + acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tr", "ec", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tr", "ec", "interpret", "precision")
+)
 def segsum_add(
     rin: jnp.ndarray,
     contribs: jnp.ndarray,
     seg2d: jnp.ndarray,
     tile_off: jnp.ndarray,
-    tr: int = 256,
-    ec: int = 2048,
-    interpret: bool = False,
+    tr: int = SEGSUM_TR,
+    ec: int = SEGSUM_EC,
+    interpret: bool | None = None,
+    precision: str = "split3",
 ) -> jnp.ndarray:
     """out[w] = rin[w] + sum_{j: seg[j]==w} contribs[j].
 
@@ -128,14 +160,18 @@ def segsum_add(
         aligned).
     tile_off: int32 [cdiv(R, tr) + 1] — tile i consumes the contiguous edge
         range [tile_off[i], tile_off[i+1]). Monotone; tile_off[-1] <= W_pad.
+    interpret: None (default) auto-selects Pallas interpret mode off-TPU so
+        the same engine code runs under the CPU test backend.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n_rows, s = rin.shape
     w_pad = contribs.shape[0]
     assert w_pad % ec == 0 and ec % 128 == 0
     assert seg2d.shape == (w_pad // 128, 128)
     ntiles = pl.cdiv(n_rows, tr)
     assert tile_off.shape[0] == ntiles + 1
-    kernel = functools.partial(_segsum_kernel, ec=ec, tr=tr)
+    kernel = functools.partial(_segsum_kernel, ec=ec, tr=tr, precision=precision)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -149,6 +185,7 @@ def segsum_add(
             (tr, s), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_rows, s), rin.dtype),
+        input_output_aliases={1: 0},  # rin -> out: in-place base update
         scratch_shapes=[
             pltpu.VMEM((tr, s), rin.dtype),
             pltpu.VMEM((2, ec, s), rin.dtype),

@@ -47,6 +47,7 @@ from flax import struct
 
 from pprx.config import PprConfig
 from pprx.engine.push import _active_mask, push_round_given_act
+from pprx.engine.segsum import SEGSUM_TR, pad_len, segsum_add, tile_offsets
 from pprx.engine.state import FORWARD, PprState, PushStats
 from pprx.graph.dynamic import WindowGraph
 
@@ -80,10 +81,16 @@ class KillGraph:
     f_len: jnp.ndarray
     # delivery-sorted snapshot view (sorted by SCATTER endpoint): big scan
     # rounds use it for a sorted residual scatter — measured 1.8x the
-    # unsorted scatter's throughput at window scale (PERFORMANCE.md round 2)
+    # unsorted scatter's throughput at window scale (PERFORMANCE.md round 2).
+    # d_gat/d_sca are padded to a multiple of segsum.EC_PAD (padding:
+    # phantom gather row -> zero contribution); d_sca stays sorted for the
+    # snapshot's life (kills only touch d_gat), so d_toff — the per-row-tile
+    # contiguous edge ranges consumed by the Pallas segment-sum kernel — is
+    # computed once per rebuild.
     d_gat: jnp.ndarray
     d_sca: jnp.ndarray
     d_pos: jnp.ndarray
+    d_toff: jnp.ndarray
 
     @property
     def n(self) -> int:
@@ -108,6 +115,16 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
     )
     order_d = jnp.argsort(other, stable=True)
     d_pos = jnp.argsort(order_d, stable=True).astype(jnp.int32)
+    cap = key.shape[0]
+    w_pad = pad_len(cap)
+    pad = jnp.full(w_pad - cap, n, jnp.int32)
+    d_gat = jnp.concatenate([key[order_d].astype(jnp.int32), pad])
+    d_sca = jnp.concatenate([other[order_d].astype(jnp.int32), pad])
+    counts_d = jnp.zeros(n + 1, jnp.int32).at[d_sca].add(1)
+    offs_d = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_d, dtype=jnp.int32)]
+    )
+    d_toff = tile_offsets(offs_d, n + 1, SEGSUM_TR)
     return KillGraph(
         window=window,
         offsets=offsets,
@@ -119,14 +136,15 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
         f_off=jnp.zeros(n + 2, jnp.int32),
         f_nbr=jnp.full(fring, n, jnp.int32),
         f_len=jnp.zeros(n + 1, jnp.int32),
-        d_gat=key[order_d].astype(jnp.int32),
-        d_sca=other[order_d].astype(jnp.int32),
+        d_gat=d_gat,
+        d_sca=d_sca,
         d_pos=d_pos,
+        d_toff=d_toff,
     )
 
 
 def dense_round_sorted(
-    state: PprState, kg: KillGraph, cfg: PprConfig
+    state: PprState, kg: KillGraph, cfg: PprConfig, segsum: bool = False
 ) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
     """Dense push round over the delivery-sorted snapshot + fresh ring.
 
@@ -136,6 +154,13 @@ def dense_round_sorted(
     Killed snapshot slots have d_gat == phantom, whose moving row is zero.
     Reverse mode factors the receiver's 1/d_out out of the sum (same trick
     as pprx/dist/sharded.py) to keep the scatter payload gather-free.
+
+    ``segsum=True`` (static) replaces the window-sized XLA scatter with the
+    Pallas MXU segment-sum kernel (pprx/engine/segsum.py — 3.0x on v5e, and
+    closer to the f64 truth than the f32 scatter chain). In reverse mode
+    the receiver's 1/d_out is folded in per edge via the (sorted, hence
+    cheap) ``inv_deg[d_sca]`` gather instead of factored out, saving the
+    window-sized delta array.
     """
     dtype = state.r.dtype
     alpha = jnp.asarray(cfg.alpha, dtype)
@@ -146,21 +171,34 @@ def dense_round_sorted(
     dangling = (deg == 0)[:, None]
     p2 = state.p + jnp.where(dangling, mass, alpha * mass)
     r2 = state.r - mass
+    seg2d = kg.d_sca.reshape(-1, 128)
     if state.mode == FORWARD:
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
         moving = (1.0 - alpha) * mass * inv_deg
-        r2 = r2.at[kg.d_sca].add(moving[kg.d_gat], indices_are_sorted=True)
+        if segsum:
+            r2 = segsum_add(r2, moving[kg.d_gat], seg2d, kg.d_toff)
+        else:
+            r2 = r2.at[kg.d_sca].add(
+                moving[kg.d_gat], indices_are_sorted=True
+            )
         r2 = r2.at[kg.fr_sca].add(moving[kg.fr_gat])
         edge_pushes = jnp.sum(act * deg[:, None], dtype=jnp.float32)
     else:
         beta = (1.0 - alpha) / alpha
         outmass = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
-        delta = jnp.zeros_like(r2).at[kg.d_sca].add(
-            outmass[kg.d_gat], indices_are_sorted=True
-        )
-        delta = delta.at[kg.fr_sca].add(outmass[kg.fr_gat])
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
-        r2 = r2 + delta * inv_deg
+        if segsum:
+            contribs = outmass[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None]
+            r2 = segsum_add(r2, contribs, seg2d, kg.d_toff)
+            r2 = r2.at[kg.fr_sca].add(
+                outmass[kg.fr_gat] * inv_deg[kg.fr_sca, 0][:, None]
+            )
+        else:
+            delta = jnp.zeros_like(r2).at[kg.d_sca].add(
+                outmass[kg.d_gat], indices_are_sorted=True
+            )
+            delta = delta.at[kg.fr_sca].add(outmass[kg.fr_gat])
+            r2 = r2 + delta * inv_deg
         edge_pushes = jnp.sum(act[kg.d_gat], dtype=jnp.float32) + jnp.sum(
             act[kg.fr_gat], dtype=jnp.float32
         )
@@ -356,11 +394,14 @@ def push_to_convergence_wl2(
     c0n,
     c0ok,
     tiers: tuple[tuple[int, int, int], ...],
+    segsum: bool = False,
 ) -> tuple[PprState, PushStats]:
     """On-device convergence loop; each iteration runs at the smallest
     capacity tier whose EXACT frontier counts fit, or one dense COO round +
     exact reseed when nothing fits. ``cand0`` seeds the candidate list at
     its own (static) capacity; pass ``c0ok=False`` to start with a scan.
+    ``segsum`` (static) routes scan rounds' window-sized residual scatter
+    through the Pallas segment-sum kernel.
     """
     n = kg.n
     tiers = tuple(tiers)
@@ -432,7 +473,7 @@ def push_to_convergence_wl2(
             )
 
         def scan(st):
-            st2, na, ew = dense_round_sorted(st, kg, cfg)
+            st2, na, ew = dense_round_sorted(st, kg, cfg, segsum=segsum)
             act2 = _active_mask(st2, kg.window, cfg)
             any2 = jnp.any(act2[:n], axis=1)
             cn2 = jnp.sum(any2, dtype=jnp.int32)

@@ -39,7 +39,7 @@ from pprx.graph.dynamic import WindowGraph
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tiers"), donate_argnums=(0, 1)
+    jax.jit, static_argnames=("cfg", "tiers", "segsum"), donate_argnums=(0, 1)
 )
 def wl2_slide_step(
     state: PprState,
@@ -54,6 +54,7 @@ def wl2_slide_step(
     c0n: jnp.ndarray,
     cfg: PprConfig,
     tiers: tuple[tuple[int, int, int], ...],
+    segsum: bool = False,
 ) -> tuple[PprState, KillGraph, PushStats]:
     n = kg.n
     # corrections need the OLD window buffer (reverse-mode row sums), so
@@ -83,7 +84,9 @@ def wl2_slide_step(
         f_len=kg.f_len.at[new_gat].add(1).at[n].set(0),
     )
     kg = refresh_fresh_csr(kg)
-    state, stats = push_to_convergence_wl2(state, kg, cfg, cand0, c0n, True, tiers)
+    state, stats = push_to_convergence_wl2(
+        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum
+    )
     return state, kg, stats
 
 
@@ -92,9 +95,13 @@ def _rebuild_kill_jit(kg: KillGraph, mode: int, fring: int) -> KillGraph:
     return build_kill_graph(kg.window, mode, fring)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tiers"), donate_argnums=(0,))
-def _seed_wl2_jit(state, kg, cand0, c0n, cfg, tiers):
-    return push_to_convergence_wl2(state, kg, cfg, cand0, c0n, True, tiers)
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tiers", "segsum"), donate_argnums=(0,)
+)
+def _seed_wl2_jit(state, kg, cand0, c0n, cfg, tiers, segsum=False):
+    return push_to_convergence_wl2(
+        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum
+    )
 
 
 class FastStreamDriver:
@@ -113,6 +120,7 @@ class FastStreamDriver:
         rebuild_every: int = 8,
         e_top: int | None = None,
         n_tiers: int = 5,
+        segsum: bool | None = None,
     ):
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
@@ -154,6 +162,15 @@ class FastStreamDriver:
         self.hdst = self.stream_dst[:w].copy()
         self.cap0 = 4 * b
         self._queries = list(queries)
+        if segsum is None:
+            # the MXU segment-sum kernel wins on real TPU hardware at
+            # lane-aligned source batches; interpret mode (CPU tests) is
+            # correct but slow, so it stays opt-in there
+            segsum = (
+                jax.default_backend() == "tpu"
+                and len(self._queries) % 128 == 0
+            )
+        self.segsum = bool(segsum)
 
     def seed(self) -> PushStats:
         q = np.unique(np.asarray(self._queries, np.int32))
@@ -166,6 +183,7 @@ class FastStreamDriver:
             jnp.asarray(q.size, jnp.int32),
             cfg=self.cfg,
             tiers=self.tiers,
+            segsum=self.segsum,
         )
         return stats
 
@@ -216,6 +234,7 @@ class FastStreamDriver:
                 jnp.asarray(min(uniq.size, self.cap0), jnp.int32),
                 cfg=self.cfg,
                 tiers=self.tiers,
+                segsum=self.segsum,
             )
             self.hsrc[slots] = new_src
             self.hdst[slots] = new_dst

@@ -68,6 +68,7 @@ def save_checkpoint(path: str, drv) -> None:
             "cap0": drv.cap0,
             "fcnt": drv.fcnt,
             "queries": [int(q) for q in drv._queries],
+            "segsum": drv.segsum,
         }
         kg = drv.graph
         extra = {
@@ -75,7 +76,7 @@ def save_checkpoint(path: str, drv) -> None:
             for f in (
                 "offsets", "nbr", "row_len", "snap_pos",
                 "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
-                "d_gat", "d_sca", "d_pos",
+                "d_gat", "d_sca", "d_pos", "d_toff",
             )
         }
     np.savez_compressed(
@@ -117,12 +118,13 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
         drv.fcnt = tune["fcnt"]
         drv._queries = list(tune["queries"])
         drv.tiers = tuple(tuple(t) for t in tune["tiers"])
+        drv.segsum = bool(tune.get("segsum", False))
         kg_fields = {
             f: jnp.asarray(z[f"kg_{f}"])
             for f in (
                 "offsets", "nbr", "row_len", "snap_pos",
                 "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
-                "d_gat", "d_sca", "d_pos",
+                "d_gat", "d_sca", "d_pos", "d_toff",
             )
         }
         drv.graph = KillGraph(window=window, **kg_fields)

@@ -26,6 +26,7 @@ def reference(src, dst, n, queries, mode):
     return np.asarray(st.p), np.asarray(st.r), int(stats.rounds)
 
 
+@pytest.mark.parametrize("segsum", [False, True])
 @pytest.mark.parametrize("mode", [FORWARD, REVERSE])
 @pytest.mark.parametrize(
     "tiers",
@@ -36,7 +37,13 @@ def reference(src, dst, n, queries, mode):
         ((4, 512, 16),),                  # emission overflow -> scan reseeds
     ],
 )
-def test_wl2_convergence_matches_dense(mode, tiers):
+def test_wl2_convergence_matches_dense(mode, tiers, segsum):
+    if segsum and tiers != ((16, 16, 4),):
+        pytest.skip("segsum scan-round parity: one tier config suffices")
+    _wl2_convergence_case(mode, tiers, segsum)
+
+
+def _wl2_convergence_case(mode, tiers, segsum):
     rng = np.random.default_rng(7)
     n, m = 40, 200
     src, dst = random_multigraph(rng, n, m)
@@ -47,7 +54,8 @@ def test_wl2_convergence_matches_dense(mode, tiers):
     q = np.unique(np.asarray(queries, np.int32))
     cand0 = jnp.asarray(np.concatenate([q, np.full(8 - q.size, n, np.int32)]))
     st, stats = push_to_convergence_wl2(
-        st, kg, CFG, cand0, jnp.asarray(q.size, jnp.int32), True, tiers
+        st, kg, CFG, cand0, jnp.asarray(q.size, jnp.int32), True, tiers,
+        segsum=segsum,
     )
     p_ref, r_ref, rounds_ref = reference(src, dst, n, queries, mode)
     np.testing.assert_allclose(np.asarray(st.p), p_ref, atol=1e-13)
@@ -56,8 +64,9 @@ def test_wl2_convergence_matches_dense(mode, tiers):
     assert int(stats.wl_rounds) <= int(stats.rounds)
 
 
+@pytest.mark.parametrize("segsum", [False, True])
 @pytest.mark.parametrize("mode", [FORWARD, REVERSE])
-def test_fast_stream_matches_dense_stream(mode):
+def test_fast_stream_matches_dense_stream(mode, segsum):
     n, total = 35, 500
     src, dst, _ = synthetic_powerlaw_stream(n, total, seed=11)
     scfg = StreamConfig(window=250, slide=25)
@@ -70,7 +79,7 @@ def test_fast_stream_matches_dense_stream(mode):
     # rebuild_every=3 forces multiple snapshot rebuilds (kill-map refreshes)
     b = FastStreamDriver(
         src, dst, n, queries, CFG, scfg, mode=mode, dtype=jnp.float64,
-        rebuild_every=3, e_top=64, n_tiers=3,
+        rebuild_every=3, e_top=64, n_tiers=3, segsum=segsum,
     )
     b.seed()
     rb = [int(s.rounds) for s in b.run(10)]
