@@ -61,6 +61,8 @@ def main():
     s = int(os.environ.get("PPRX_BENCH_S", 128))
     steps = int(os.environ.get("PPRX_BENCH_STEPS", 8))
     engine = os.environ.get("PPRX_BENCH_ENGINE", "fast")
+    segsum = os.environ.get("PPRX_BENCH_SEGSUM")  # "0"/"1"; default auto
+    segsum = None if segsum is None else segsum == "1"
     rebuild_every = max(1, min(8, w // (6 * b)))
 
     # warm past the first snapshot rebuild so the timed region holds only
@@ -75,7 +77,7 @@ def main():
     if engine == "fast":
         drv = FastStreamDriver(
             src, dst, n, queries, cfg, scfg, mode=0, dtype=jnp.float32,
-            rebuild_every=rebuild_every,
+            rebuild_every=rebuild_every, segsum=segsum,
         )
     elif engine == "hybrid":
         drv = HybridStreamDriver(src, dst, n, queries, cfg, scfg, mode=0)

@@ -80,18 +80,19 @@ def config2_sliding_window(scale: int = 1) -> dict:
 
     from pprx.config import PprConfig, StreamConfig
     from pprx.eval.perf import summarize
-    from pprx.graph.hybrid_stream import HybridStreamDriver
+    from pprx.graph.fast_stream import FastStreamDriver
     from pprx.graph.io import synthetic_powerlaw_stream
 
     n, w, b = 200_000 * scale, 2_000_000 * scale, 20_000 * scale
     steps = 10
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + 3) * b, seed=2)
+    warm = 2 + max(1, min(8, w // (6 * b)))  # past the first snapshot rebuild
+    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=2)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
-    drv = HybridStreamDriver(
+    drv = FastStreamDriver(
         src, dst, n, list(range(16)), cfg, StreamConfig(window=w, slide=b)
     )
     drv.seed()
-    for _ in drv.run(2):
+    for _ in drv.run(warm):
         pass
     _sync(drv.state.r)
     t0 = time.perf_counter()
@@ -108,18 +109,19 @@ def config3_reverse_dynamic(scale: int = 1) -> dict:
     from pprx.config import PprConfig, StreamConfig
     from pprx.engine.state import REVERSE
     from pprx.eval.perf import summarize
-    from pprx.graph.hybrid_stream import HybridStreamDriver
+    from pprx.graph.fast_stream import FastStreamDriver
     from pprx.graph.io import synthetic_powerlaw_stream
 
     n, w, b = 100_000 * scale, 1_000_000 * scale, 10_000 * scale
     steps = 10
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + 3) * b, seed=3)
+    warm = 2 + max(1, min(8, w // (6 * b)))
+    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=3)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
-    drv = HybridStreamDriver(
+    drv = FastStreamDriver(
         src, dst, n, list(range(8)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE
     )
     drv.seed()
-    for _ in drv.run(2):
+    for _ in drv.run(warm):
         pass
     _sync(drv.state.r)
     t0 = time.perf_counter()

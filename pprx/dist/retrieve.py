@@ -56,7 +56,9 @@ def make_sharded_topk(mesh: jax.sharding.Mesh, n: int, n_local: int, k: int,
         row0 = jax.lax.axis_index("rows") * n_local
         scores = p_local.T  # [s_loc, n_local]
         if exact:
-            sc, ids = jax.lax.top_k(scores, k_loc)
+            from pprx.retrieve.topk import exact_topk_rows
+
+            sc, ids = exact_topk_rows(scores, k_loc)
         else:
             sc, ids = jax.lax.approx_max_k(scores, k_loc)
         gids = ids + row0

@@ -41,3 +41,23 @@ def test_precision_at_k_tie_handling():
     exact = np.array([0.5, 0.3, 0.3, 0.1])
     assert precision_at_k(np.array([0, 2]), exact, 2) == 1.0  # tie at boundary
     assert precision_at_k(np.array([0, 3]), exact, 2) == 0.5
+
+
+def test_two_stage_exact_topk_matches_single_sort():
+    """The chunked exact path (pads N to a chunk multiple, per-chunk top-k,
+    merge) must equal lax.top_k of the full rows — including duplicate
+    scores and a non-divisible N."""
+    from pprx.retrieve.topk import topk_candidates
+    import jax
+
+    rng = np.random.default_rng(11)
+    n, s, k = 1000, 4, 7
+    p = rng.random((n + 1, s)).astype(np.float32)
+    p[50:60, :] = 0.5  # duplicate scores across the chunk boundary region
+    p = jnp.asarray(p)
+    sc_ref, _ = jax.lax.top_k(p[:-1].T, k)
+    sc2, ids2 = topk_candidates(p, k=k, exact=True, chunk=64)  # 1000 % 64 != 0
+    np.testing.assert_array_equal(np.asarray(sc2), np.asarray(sc_ref))
+    # returned ids must actually hold the returned scores
+    got = np.take_along_axis(np.asarray(p[:-1].T), np.asarray(ids2), axis=1)
+    np.testing.assert_array_equal(got, np.asarray(sc2))
