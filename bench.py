@@ -62,6 +62,8 @@ def main():
     steps = int(os.environ.get("PPRX_BENCH_STEPS", 8))
     engine = os.environ.get("PPRX_BENCH_ENGINE", "fast")
     segsum = os.environ.get("PPRX_BENCH_SEGSUM")  # "0"/"1"; default auto
+    if segsum is not None and segsum not in ("0", "1"):
+        raise SystemExit(f"PPRX_BENCH_SEGSUM must be '0' or '1', got {segsum!r}")
     segsum = None if segsum is None else segsum == "1"
     rebuild_every = max(1, min(8, w // (6 * b)))
 

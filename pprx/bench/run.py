@@ -85,11 +85,13 @@ def config2_sliding_window(scale: int = 1) -> dict:
 
     n, w, b = 200_000 * scale, 2_000_000 * scale, 20_000 * scale
     steps = 10
-    warm = 2 + max(1, min(8, w // (6 * b)))  # past the first snapshot rebuild
+    rebuild_every = max(1, min(8, w // (6 * b)))
+    warm = rebuild_every + 2  # past the first snapshot rebuild
     src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=2)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = FastStreamDriver(
-        src, dst, n, list(range(16)), cfg, StreamConfig(window=w, slide=b)
+        src, dst, n, list(range(16)), cfg, StreamConfig(window=w, slide=b),
+        rebuild_every=rebuild_every,
     )
     drv.seed()
     for _ in drv.run(warm):
@@ -114,11 +116,13 @@ def config3_reverse_dynamic(scale: int = 1) -> dict:
 
     n, w, b = 100_000 * scale, 1_000_000 * scale, 10_000 * scale
     steps = 10
-    warm = 2 + max(1, min(8, w // (6 * b)))
+    rebuild_every = max(1, min(8, w // (6 * b)))
+    warm = rebuild_every + 2
     src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=3)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = FastStreamDriver(
-        src, dst, n, list(range(8)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE
+        src, dst, n, list(range(8)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE,
+        rebuild_every=rebuild_every,
     )
     drv.seed()
     for _ in drv.run(warm):

@@ -57,6 +57,9 @@ def exact_topk_rows(
     ids = ix + (jnp.arange(m, dtype=ix.dtype) * chunk)[None, :, None]
     sc2, ij = jax.lax.top_k(sc.reshape(s, m * k), k)
     ids2 = jnp.take_along_axis(ids.reshape(s, m * k), ij, axis=1)
+    # pad positions (score -inf) can surface ids >= n when a row has fewer
+    # than k finite entries; clamp so the helper is safe for arbitrary input
+    ids2 = jnp.where(ids2 < n, ids2, 0)
     return sc2, ids2
 
 
