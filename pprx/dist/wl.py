@@ -118,6 +118,8 @@ class ShardedWlEngine(ShardedEngine):
         # snapshot arrays have ecap usable positions + 1 trash position
         self.sstride = self.slot_stride  # ecap + 1
         et = e_top if e_top is not None else min(max(8 * bcap, 16_384), ecap)
+        self.e_top = et
+        self.n_tiers = n_tiers
         self.tiers = make_wl_tiers(
             self.n_local, ecap, self.fring, et,
             w_top=self.n_rows * self.wl_ccap, n_tiers=n_tiers,

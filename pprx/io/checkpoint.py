@@ -163,14 +163,26 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
     return drv
 
 
+_WL_SNAP_KEYS = (
+    "soff", "snbr", "srl", "spos", "slane",
+    "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
+)
+
+
 def save_sharded_checkpoint(path: str, drv) -> None:
     """Checkpoint a pprx.dist.stream.ShardedStreamDriver (SURVEY.md §5
     "shard-per-host"). The persisted state is the GLOBAL device arrays
     (gathered to host — each JAX process writes its own addressable shards'
     path in multi-host runs) plus the host slot bookkeeping that makes the
-    slide schedule deterministic."""
+    slide schedule deterministic. Both engines are covered: the dense
+    reduce-scatter engine and the wl (compact-frontier) engine — the latter
+    additionally persists its per-shard snapshot CSR / fresh-ring arrays and
+    the rebuild counters, so a resumed wl driver replays the EXACT round
+    schedule (snapshot identity decides tier choices and kill positions)."""
+    wl = bool(getattr(drv, "_wl", False))
     meta = {
         "kind": "sharded",
+        "engine": "wl" if wl else "dense",
         "n": drv.n,
         "head": drv.head,
         "step_idx": drv.step_idx,
@@ -185,6 +197,20 @@ def save_sharded_checkpoint(path: str, drv) -> None:
     }
     import jax
 
+    extra = {}
+    if wl:
+        meta["wl_tuning"] = {
+            "fring": drv.eng.fring,
+            "e_top": drv.eng.e_top,
+            "n_tiers": drv.eng.n_tiers,
+            "tiers": [list(t) for t in drv.eng.tiers],
+            "since_rb": drv._since_rb,
+        }
+        extra = {
+            f"snap_{k}": np.asarray(jax.device_get(drv.snap[k]))
+            for k in _WL_SNAP_KEYS
+        }
+        extra["fcnt_host"] = np.asarray(drv._fcnt_host, np.int64)
     free_lens = np.asarray(drv._free_top, np.int64)
     free_flat = np.concatenate(
         [np.asarray(s[:t], np.int64) for s, t in zip(drv._free_stack, drv._free_top)]
@@ -202,6 +228,7 @@ def save_sharded_checkpoint(path: str, drv) -> None:
         pos_slot=drv.pos_slot,
         free_lens=free_lens,
         free_flat=free_flat,
+        **extra,
     )
 
 
@@ -222,6 +249,7 @@ def load_sharded_checkpoint(
     meta = json.loads(bytes(z["meta"]).decode())
     cfg = PprConfig(**meta["cfg"])
     scfg = StreamConfig(**meta["scfg"])
+    wl = meta.get("engine", "dense") == "wl"
     drv = ShardedStreamDriver.__new__(ShardedStreamDriver)
     drv.stream_src = np.asarray(stream_src, dtype=np.int32)
     drv.stream_dst = np.asarray(stream_dst, dtype=np.int32)
@@ -229,18 +257,46 @@ def load_sharded_checkpoint(
     drv.cfg = cfg
     drv.scfg = scfg
     drv.mode = meta["mode"]
-    drv.eng = ShardedEngine(
-        mesh,
-        meta["n"],
-        meta["s_total"],
-        ecap=meta["ecap"],
-        bcap=meta["bcap"],
-        cfg=cfg,
-        mode=meta["mode"],
-        dtype=z["p"].dtype,
-        exchange=meta.get("exchange", "dense_rs"),
-        ccap=meta.get("ccap_requested", 1024),
-    )
+    if wl:
+        from pprx.dist.wl import ShardedWlEngine
+
+        tune = meta["wl_tuning"]
+        drv.eng = ShardedWlEngine(
+            mesh,
+            meta["n"],
+            meta["s_total"],
+            ecap=meta["ecap"],
+            bcap=meta["bcap"],
+            cfg=cfg,
+            mode=meta["mode"],
+            dtype=z["p"].dtype,
+            ccap=meta.get("ccap_requested", 2048),
+            fring=tune["fring"],
+            e_top=tune["e_top"],
+            n_tiers=tune["n_tiers"],
+        )
+        got = [list(t) for t in drv.eng.tiers]
+        if got != tune["tiers"]:
+            # the tier ladder IS the compiled round schedule; resuming under
+            # a different ladder silently changes perf + round counts
+            raise ValueError(
+                f"wl checkpoint tier mismatch: saved {tune['tiers']}, "
+                f"reconstructed {got} — mesh/capacity params differ from "
+                "the run that wrote the checkpoint"
+            )
+    else:
+        drv.eng = ShardedEngine(
+            mesh,
+            meta["n"],
+            meta["s_total"],
+            ecap=meta["ecap"],
+            bcap=meta["bcap"],
+            cfg=cfg,
+            mode=meta["mode"],
+            dtype=z["p"].dtype,
+            exchange=meta.get("exchange", "dense_rs"),
+            ccap=meta.get("ccap_requested", 1024),
+        )
     eng = drv.eng
     st_sh = NamedSharding(mesh, eng.state_spec)
     row_sh = NamedSharding(mesh, eng.row_spec)
@@ -267,6 +323,13 @@ def load_sharded_checkpoint(
     drv.head = meta["head"]
     drv.step_idx = meta["step_idx"]
     drv.last_host_ms = 0.0
-    drv._wl = False  # sharded checkpoints cover the dense engine
+    drv._wl = wl
     drv._row_sh = row_sh
+    if wl:
+        drv.snap = {
+            k: jax.device_put(jnp.asarray(z[f"snap_{k}"]), row_sh)
+            for k in _WL_SNAP_KEYS
+        }
+        drv._fcnt_host = np.asarray(z["fcnt_host"], np.int64)
+        drv._since_rb = meta["wl_tuning"]["since_rb"]
     return drv
