@@ -152,7 +152,7 @@ def _make_stream_driver(args, src, dst, n, queries, scfg):
     from pprx.graph.stream import StreamDriver
 
     common = dict(mode=_mode(args), dtype=_dtype(args))
-    if args.engine in ("sharded", "sharded-wl"):
+    if args.engine in ("sharded", "sharded-wl", "sharded-wlp"):
         import jax
 
         from pprx.dist.init import init_distributed
@@ -167,7 +167,8 @@ def _make_stream_driver(args, src, dst, n, queries, scfg):
         mesh = make_row_mesh(rows, srcs)
         return ShardedStreamDriver(
             src, dst, n, queries, _cfg(args), scfg, mesh, ecap=args.ecap,
-            engine="wl" if args.engine == "sharded-wl" else "dense", **common
+            engine={"sharded-wl": "wl", "sharded-wlp": "wlp"}.get(args.engine, "dense"),
+            **common
         ), rows * srcs
     ctor = {
         "fast": FastStreamDriver,
@@ -186,7 +187,7 @@ def cmd_stream(args):
     queries = [int(q) for q in args.queries.split(",")]
     scfg = StreamConfig(window=args.window, slide=args.slide)
     drv, n_chips = _make_stream_driver(args, src, dst, n, queries, scfg)
-    sharded = args.engine in ("sharded", "sharded-wl")
+    sharded = args.engine in ("sharded", "sharded-wl", "sharded-wlp")
     with JsonlLogger(args.log) as log:
         seed_stats = drv.seed()
         if sharded:
@@ -296,11 +297,12 @@ def main(argv=None):
     p.add_argument("--slide", type=int, required=True)
     p.add_argument(
         "--engine",
-        choices=["fast", "hybrid", "dense", "sharded", "sharded-wl"],
+        choices=["fast", "hybrid", "dense", "sharded", "sharded-wl", "sharded-wlp"],
         default="fast",
         help="fast = compact-frontier wl2 engine (default); sharded = "
         "row-sharded multi-device/multi-host engine (dense rounds); "
-        "sharded-wl = row-sharded compact-frontier rounds (bucketed a2a)",
+        "sharded-wl = row-sharded compact-frontier rounds (bucketed a2a); "
+        "sharded-wlp = wl with memory-proportional carry/drain rounds",
     )
     p.add_argument(
         "--mesh",

@@ -111,6 +111,23 @@ def forward_corrections(
     at post-delete degrees. Returns (p, r, acc, deg2) — ``acc`` is the
     [n_pad, S] cross-shard correction delivery the caller reduce-scatters.
     Shared by the dense slide and the wl slide (pprx.dist.wl)."""
+    p, r, ids, vals, deg2 = forward_corrections_pairs(
+        p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
+        alpha_f, dtype, n_pad,
+    )
+    acc = jnp.zeros((n_pad, p.shape[1]), dtype).at[
+        jnp.clip(ids, 0, n_pad - 1)
+    ].add(vals)
+    return p, r, acc, deg2
+
+
+def forward_corrections_pairs(
+    p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v, alpha_f, dtype, n_pad
+):
+    """forward_corrections core returning the cross-shard delivery as
+    compact per-edge (global id, mass) pairs instead of an [n_pad, S] acc —
+    the memory-proportional wl engine ships these through its bucketed a2a
+    (pprx.dist.wl). Invalid batch rows get id n_pad and zero mass."""
     alpha = jnp.asarray(alpha_f, dtype)
     beta = (1.0 - alpha) / alpha
     nloc = deg.shape[0]
@@ -118,12 +135,10 @@ def forward_corrections(
     d0f = jnp.maximum(d0, 1).astype(dtype)
     del_vf = del_v.astype(dtype)[:, None]
     ins_vf = ins_v.astype(dtype)[:, None]
-    acc = jnp.zeros((n_pad, p.shape[1]), dtype)
 
     # ---- delete phase (old p, old degrees) ----
     k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
-    per_edge = beta * p[del_u] / d0f[del_u, None] * del_vf
-    acc = acc.at[del_w].add(-per_edge)
+    per_edge_del = beta * p[del_u] / d0f[del_u, None] * del_vf
     D = d0 - k_del
     touched = k_del > 0
     full = jnp.logical_and(touched, D == 0)
@@ -139,8 +154,7 @@ def forward_corrections(
     d1 = D
     d1f = jnp.maximum(d1, 1).astype(dtype)
     k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
-    per_edge = beta * p[ins_u] / d1f[ins_u, None] * ins_vf
-    acc = acc.at[ins_w].add(per_edge)
+    per_edge_ins = beta * p[ins_u] / d1f[ins_u, None] * ins_vf
     touched = k_ins > 0
     from_dang = jnp.logical_and(touched, d1 == 0)
     scale_p = jnp.where(
@@ -153,7 +167,12 @@ def forward_corrections(
     r_sub = jnp.where(touched, num / denom, jnp.zeros((), dtype))
     r = r - r_sub[:, None] * p
     p = p * scale_p[:, None]
-    return p, r, acc, d1 + k_ins
+    ids = jnp.concatenate([
+        jnp.where(del_v > 0, del_w, n_pad).astype(jnp.int32),
+        jnp.where(ins_v > 0, ins_w, n_pad).astype(jnp.int32),
+    ])
+    vals = jnp.concatenate([-per_edge_del, per_edge_ins])
+    return p, r, ids, vals, d1 + k_ins
 
 
 def reverse_corrections(

@@ -72,11 +72,13 @@ class ShardedStreamDriver:
         ccap: int = 2048,
         fring: int | None = None,
     ):
-        """engine: 'dense' (reduce-scatter rounds, pprx.dist.sharded) or
-        'wl' (compact-frontier rounds with bucketed a2a, pprx.dist.wl)."""
+        """engine: 'dense' (reduce-scatter rounds, pprx.dist.sharded),
+        'wl' (compact-frontier rounds with bucketed a2a, pprx.dist.wl), or
+        'wlp' (wl with the memory-proportional carry/drain rounds — no
+        [n_pad, S] arrays; per-device memory scales with the shard)."""
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
-        if engine not in ("dense", "wl"):
+        if engine not in ("dense", "wl", "wlp"):
             raise ValueError(f"unknown sharded engine {engine!r}")
         self.stream_src = np.asarray(stream_src, dtype=np.int32)
         self.stream_dst = np.asarray(stream_dst, dtype=np.int32)
@@ -84,7 +86,7 @@ class ShardedStreamDriver:
         self.cfg = cfg
         self.scfg = scfg
         self.mode = mode
-        self._wl = engine == "wl"
+        self._wl = engine in ("wl", "wlp")
         w = scfg.window
         queries = list(queries)
         if self._wl:
@@ -94,7 +96,7 @@ class ShardedStreamDriver:
                 mesh, n, len(queries),
                 ecap=w if ecap is None else ecap,
                 bcap=scfg.slide, cfg=cfg, mode=mode, dtype=dtype,
-                ccap=ccap, fring=fring,
+                ccap=ccap, fring=fring, proportional=(engine == "wlp"),
             )
         else:
             self.eng = ShardedEngine(

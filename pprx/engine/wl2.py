@@ -91,6 +91,14 @@ class KillGraph:
     d_sca: jnp.ndarray
     d_pos: jnp.ndarray
     d_toff: jnp.ndarray
+    # delivery-sorted FRESH view (re-sorted each slide alongside the
+    # mini-CSR): the dense round's fresh delivery was an UNSORTED [fring, S]
+    # scatter — ~22 ms at fring=320k, the single largest dense-round term
+    # (PERFORMANCE.md round 3 phase table). Sorted by scatter endpoint and
+    # EC-padded, it runs through the same segment-sum kernel as the window.
+    fd_gat: jnp.ndarray
+    fd_sca: jnp.ndarray
+    fd_toff: jnp.ndarray
 
     @property
     def n(self) -> int:
@@ -101,30 +109,42 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
     """Jittable snapshot build: stable-sort the window by gather endpoint,
     plus a second view sorted by scatter endpoint for dense scan rounds.
 
-    The double argsort yields snap_pos (each slot's rank in snapshot order)
-    without an O(W) scatter — measured ~3x cheaper at W=2M."""
+    Both sorts carry the payload columns through ``lax.sort`` multi-operand
+    (one sort network moves key + iota + payload together): the round-2
+    argsort-then-gather form paid ~20 ms per 2M-row 1-D gather on top of
+    each 6 ms sort (PERFORMANCE.md 1-D costs — this was half the 94 ms
+    rebuild). snap_pos (slot -> snapshot rank) still comes from the double
+    argsort, measured ~3x cheaper than an O(W) scatter."""
     n = window.n
     key = window.src if mode == FORWARD else window.dst
     other = window.dst if mode == FORWARD else window.src
-    order = jnp.argsort(key, stable=True)
+    cap = key.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    _, order, nbr = jax.lax.sort(
+        (key, iota, other), num_keys=1, is_stable=True
+    )
     snap_pos = jnp.argsort(order, stable=True).astype(jnp.int32)
-    nbr = other[order]
     counts = jnp.zeros(n + 1, jnp.int32).at[key].add(1)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
-    order_d = jnp.argsort(other, stable=True)
+    d_sca0, order_d, d_gat0 = jax.lax.sort(
+        (other, iota, key), num_keys=1, is_stable=True
+    )
     d_pos = jnp.argsort(order_d, stable=True).astype(jnp.int32)
-    cap = key.shape[0]
     w_pad = pad_len(cap)
     pad = jnp.full(w_pad - cap, n, jnp.int32)
-    d_gat = jnp.concatenate([key[order_d].astype(jnp.int32), pad])
-    d_sca = jnp.concatenate([other[order_d].astype(jnp.int32), pad])
+    d_gat = jnp.concatenate([d_gat0.astype(jnp.int32), pad])
+    d_sca = jnp.concatenate([d_sca0.astype(jnp.int32), pad])
     counts_d = jnp.zeros(n + 1, jnp.int32).at[d_sca].add(1)
     offs_d = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_d, dtype=jnp.int32)]
     )
     d_toff = tile_offsets(offs_d, n + 1, SEGSUM_TR)
+    f_pad = pad_len(fring)
+    fd_empty = jnp.full(f_pad, n, jnp.int32)
+    # all-phantom fresh view: every edge lands in the tile owning row n
+    offs_f0 = jnp.zeros(n + 2, jnp.int32).at[n + 1].set(f_pad)
     return KillGraph(
         window=window,
         offsets=offsets,
@@ -140,6 +160,9 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
         d_sca=d_sca,
         d_pos=d_pos,
         d_toff=d_toff,
+        fd_gat=fd_empty,
+        fd_sca=fd_empty,
+        fd_toff=tile_offsets(offs_f0, n + 1, SEGSUM_TR),
     )
 
 
@@ -172,16 +195,20 @@ def dense_round_sorted(
     p2 = state.p + jnp.where(dangling, mass, alpha * mass)
     r2 = state.r - mass
     seg2d = kg.d_sca.reshape(-1, 128)
+    seg2d_f = kg.fd_sca.reshape(-1, 128)
     if state.mode == FORWARD:
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
         moving = (1.0 - alpha) * mass * inv_deg
         if segsum:
             r2 = segsum_add(r2, moving[kg.d_gat], seg2d, kg.d_toff)
+            r2 = segsum_add(r2, moving[kg.fd_gat], seg2d_f, kg.fd_toff)
         else:
             r2 = r2.at[kg.d_sca].add(
                 moving[kg.d_gat], indices_are_sorted=True
             )
-        r2 = r2.at[kg.fr_sca].add(moving[kg.fr_gat])
+            r2 = r2.at[kg.fd_sca].add(
+                moving[kg.fd_gat], indices_are_sorted=True
+            )
         edge_pushes = jnp.sum(act * deg[:, None], dtype=jnp.float32)
     else:
         beta = (1.0 - alpha) / alpha
@@ -190,14 +217,15 @@ def dense_round_sorted(
         if segsum:
             contribs = outmass[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None]
             r2 = segsum_add(r2, contribs, seg2d, kg.d_toff)
-            r2 = r2.at[kg.fr_sca].add(
-                outmass[kg.fr_gat] * inv_deg[kg.fr_sca, 0][:, None]
-            )
+            contribs_f = outmass[kg.fd_gat] * inv_deg[kg.fd_sca, 0][:, None]
+            r2 = segsum_add(r2, contribs_f, seg2d_f, kg.fd_toff)
         else:
             delta = jnp.zeros_like(r2).at[kg.d_sca].add(
                 outmass[kg.d_gat], indices_are_sorted=True
             )
-            delta = delta.at[kg.fr_sca].add(outmass[kg.fr_gat])
+            delta = delta.at[kg.fd_sca].add(
+                outmass[kg.fd_gat], indices_are_sorted=True
+            )
             r2 = r2 + delta * inv_deg
         edge_pushes = jnp.sum(act[kg.d_gat], dtype=jnp.float32) + jnp.sum(
             act[kg.fr_gat], dtype=jnp.float32
@@ -212,13 +240,26 @@ def refresh_fresh_csr(kg: KillGraph) -> KillGraph:
     """Re-sort the fresh ring into the mini-CSR (called once per slide,
     after the ring append). f_len is maintained incrementally by the slide
     step; offsets are its cumsum; f_nbr is the ring's scatter endpoints in
-    gather-sorted order (phantom padding sorts to the tail)."""
-    order = jnp.argsort(kg.fr_gat, stable=True)
-    f_nbr = kg.fr_sca[order]
+    gather-sorted order (phantom padding sorts to the tail). Also rebuilds
+    the delivery-sorted fresh view (fd_*) consumed by dense scan rounds."""
+    n = kg.n
+    _, f_nbr = jax.lax.sort_key_val(kg.fr_gat, kg.fr_sca, is_stable=True)
     f_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(kg.f_len, dtype=jnp.int32)]
     )
-    return kg.replace(f_nbr=f_nbr, f_off=f_off)
+    fd_sca0, fd_gat0 = jax.lax.sort_key_val(kg.fr_sca, kg.fr_gat, is_stable=True)
+    f_pad = kg.fd_gat.shape[0]
+    pad = jnp.full(f_pad - fd_sca0.shape[0], n, jnp.int32)
+    fd_sca = jnp.concatenate([fd_sca0, pad])
+    fd_gat = jnp.concatenate([fd_gat0, pad])
+    counts_f = jnp.zeros(n + 1, jnp.int32).at[fd_sca].add(1)
+    offs_f = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_f, dtype=jnp.int32)]
+    )
+    fd_toff = tile_offsets(offs_f, n + 1, SEGSUM_TR)
+    return kg.replace(
+        f_nbr=f_nbr, f_off=f_off, fd_sca=fd_sca, fd_gat=fd_gat, fd_toff=fd_toff
+    )
 
 
 def rld_expand(

@@ -77,6 +77,7 @@ def save_checkpoint(path: str, drv) -> None:
                 "offsets", "nbr", "row_len", "snap_pos",
                 "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
                 "d_gat", "d_sca", "d_pos", "d_toff",
+                "fd_gat", "fd_sca", "fd_toff",
             )
         }
     np.savez_compressed(
@@ -125,6 +126,7 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
                 "offsets", "nbr", "row_len", "snap_pos",
                 "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
                 "d_gat", "d_sca", "d_pos", "d_toff",
+                "fd_gat", "fd_sca", "fd_toff",
             )
         }
         drv.graph = KillGraph(window=window, **kg_fields)
@@ -180,9 +182,10 @@ def save_sharded_checkpoint(path: str, drv) -> None:
     the rebuild counters, so a resumed wl driver replays the EXACT round
     schedule (snapshot identity decides tier choices and kill positions)."""
     wl = bool(getattr(drv, "_wl", False))
+    prop = wl and bool(getattr(drv.eng, "proportional", False))
     meta = {
         "kind": "sharded",
-        "engine": "wl" if wl else "dense",
+        "engine": ("wlp" if prop else "wl") if wl else "dense",
         "n": drv.n,
         "head": drv.head,
         "step_idx": drv.step_idx,
@@ -249,7 +252,7 @@ def load_sharded_checkpoint(
     meta = json.loads(bytes(z["meta"]).decode())
     cfg = PprConfig(**meta["cfg"])
     scfg = StreamConfig(**meta["scfg"])
-    wl = meta.get("engine", "dense") == "wl"
+    wl = meta.get("engine", "dense") in ("wl", "wlp")
     drv = ShardedStreamDriver.__new__(ShardedStreamDriver)
     drv.stream_src = np.asarray(stream_src, dtype=np.int32)
     drv.stream_dst = np.asarray(stream_dst, dtype=np.int32)
@@ -274,6 +277,7 @@ def load_sharded_checkpoint(
             fring=tune["fring"],
             e_top=tune["e_top"],
             n_tiers=tune["n_tiers"],
+            proportional=(meta["engine"] == "wlp"),
         )
         got = [list(t) for t in drv.eng.tiers]
         if got != tune["tiers"]:

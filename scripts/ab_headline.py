@@ -36,16 +36,27 @@ B = int(os.environ.get("AB_B", 160_000))
 S = int(os.environ.get("AB_S", 128))
 STEPS = int(os.environ.get("AB_STEPS", 8))
 
-VARIANTS = [
+import json
+
+_default_variants = [
     ("segsum=1 re=2", dict(segsum=True, rebuild_every=2)),
     ("segsum=0 re=2", dict(segsum=False, rebuild_every=2)),
     ("segsum=1 re=8", dict(segsum=True, rebuild_every=8)),
     ("segsum=0 re=8", dict(segsum=False, rebuild_every=8)),
 ]
+# override via AB_VARIANTS: JSON list of kwarg dicts for FastStreamDriver
+_env = os.environ.get("AB_VARIANTS")
+if _env:
+    VARIANTS = [
+        (" ".join(f"{k}={v}" for k, v in kw.items()), kw)
+        for kw in json.loads(_env)
+    ]
+else:
+    VARIANTS = _default_variants
 
 cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
 scfg = StreamConfig(window=W, slide=B)
-max_warm = max(kw["rebuild_every"] for _, kw in VARIANTS) + 2
+max_warm = max(kw.get("rebuild_every", 8) for _, kw in VARIANTS) + 2
 stream_len = W + (STEPS + max_warm + 1) * B
 src, dst, _ = synthetic_powerlaw_stream(N, stream_len, seed=7)
 queries = list(range(S))
@@ -55,7 +66,7 @@ def run_once(kw):
     drv = FastStreamDriver(src, dst, N, queries, cfg, scfg, mode=0,
                            dtype=jnp.float32, **kw)
     drv.seed()
-    warm = kw["rebuild_every"] + 2
+    warm = kw.get("rebuild_every", 8) + 2
     for _ in drv.run(warm):
         pass
     hard_sync(drv.state.r)
