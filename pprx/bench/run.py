@@ -22,6 +22,27 @@ def _sync(x):
     hard_sync(x)
 
 
+def _stream(graph: str | None, n: int, need: int, seed: int):
+    """Edge stream for a config: a packed ``.npz`` (pprx convert output /
+    pprx.graph.io.save_packed) when ``graph`` is given, else the synthetic
+    power-law stand-in. Real streams shorter than the config's window+slides
+    are tiled cyclically (window semantics stay exact; edges repeat, as in
+    any loop-driven soak run). Returns (src, dst, n)."""
+    if graph is None:
+        from pprx.graph.io import synthetic_powerlaw_stream
+
+        src, dst, _ = synthetic_powerlaw_stream(n, need, seed=seed)
+        return src, dst, n
+    from pprx.graph.io import load_packed
+
+    src, dst, n_real = load_packed(graph)
+    if src.shape[0] < need:
+        reps = -(-need // src.shape[0])
+        src = np.tile(src, reps)[:need]
+        dst = np.tile(dst, reps)[:need]
+    return src[:need], dst[:need], n_real
+
+
 def _exact_ok(src, dst, n, queries, p_host, alpha, eps, mode):
     from pprx.engine.state import FORWARD
     from pprx.eval.metrics import l1_error
@@ -35,7 +56,8 @@ def _exact_ok(src, dst, n, queries, p_host, alpha, eps, mode):
     return errs
 
 
-def config1_static_forward(scale: int = 1, check_exact: bool = True) -> dict:
+def config1_static_forward(scale: int = 1, check_exact: bool = True,
+                           graph: str | None = None) -> dict:
     """Single-source forward push on a static wiki-Vote-like graph (CPU-class
     scale), accuracy vs exact."""
     import jax
@@ -48,14 +70,15 @@ def config1_static_forward(scale: int = 1, check_exact: bool = True) -> dict:
     from pprx.graph.io import synthetic_powerlaw_stream
 
     n, m = 1000 * scale, 100_000 * scale
-    src, dst, _ = synthetic_powerlaw_stream(n, m, seed=1)
+    src, dst, n = _stream(graph, n, m, seed=1)
+    m = src.shape[0]
     cfg = PprConfig(alpha=0.15, eps=1e-6)
-    graph = WindowGraph.from_coo(src, dst, n)
+    window = WindowGraph.from_coo(src, dst, n)
     queries = [0]
     state = init_state(n, queries, mode=FORWARD)
     t0 = time.perf_counter()
     state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
-        state, graph, cfg=cfg
+        state, window, cfg=cfg
     )
     _sync(state.p)
     out = {
@@ -73,7 +96,8 @@ def config1_static_forward(scale: int = 1, check_exact: bool = True) -> dict:
     return out
 
 
-def config2_sliding_window(scale: int = 1) -> dict:
+def config2_sliding_window(scale: int = 1, graph: str | None = None,
+                           w: int = 0, b: int = 0, steps: int = 10) -> dict:
     """Incremental PPR under sliding-window batches (soc-LiveJournal-like)."""
     import jax
     import jax.numpy as jnp
@@ -83,11 +107,12 @@ def config2_sliding_window(scale: int = 1) -> dict:
     from pprx.graph.fast_stream import FastStreamDriver
     from pprx.graph.io import synthetic_powerlaw_stream
 
-    n, w, b = 200_000 * scale, 2_000_000 * scale, 20_000 * scale
-    steps = 10
+    n = 200_000 * scale
+    w = w or 2_000_000 * scale
+    b = b or 20_000 * scale
     rebuild_every = max(1, min(8, w // (6 * b)))
     warm = rebuild_every + 2  # past the first snapshot rebuild
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=2)
+    src, dst, n = _stream(graph, n, w + (steps + warm + 1) * b, seed=2)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = FastStreamDriver(
         src, dst, n, list(range(16)), cfg, StreamConfig(window=w, slide=b),
@@ -104,7 +129,8 @@ def config2_sliding_window(scale: int = 1) -> dict:
     return {"config": 2, "n": n, "window": w, "slide": b, **rep.as_dict()}
 
 
-def config3_reverse_dynamic(scale: int = 1) -> dict:
+def config3_reverse_dynamic(scale: int = 1, graph: str | None = None,
+                            w: int = 0, b: int = 0, steps: int = 10) -> dict:
     """Reverse-push contribution vectors maintained under the stream."""
     import jax
 
@@ -114,11 +140,12 @@ def config3_reverse_dynamic(scale: int = 1) -> dict:
     from pprx.graph.fast_stream import FastStreamDriver
     from pprx.graph.io import synthetic_powerlaw_stream
 
-    n, w, b = 100_000 * scale, 1_000_000 * scale, 10_000 * scale
-    steps = 10
+    n = 100_000 * scale
+    w = w or 1_000_000 * scale
+    b = b or 10_000 * scale
     rebuild_every = max(1, min(8, w // (6 * b)))
     warm = rebuild_every + 2
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + warm + 1) * b, seed=3)
+    src, dst, n = _stream(graph, n, w + (steps + warm + 1) * b, seed=3)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = FastStreamDriver(
         src, dst, n, list(range(8)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE,
@@ -135,7 +162,8 @@ def config3_reverse_dynamic(scale: int = 1) -> dict:
     return {"config": 3, "n": n, "window": w, "slide": b, **rep.as_dict()}
 
 
-def config4_retrieval(scale: int = 1, s: int = 512, k: int = 100) -> dict:
+def config4_retrieval(scale: int = 1, s: int = 512, k: int = 100,
+                      graph: str | None = None) -> dict:
     """Multi-source batched retrieval: S sources/launch, top-k, serving
     latency from MAINTAINED state (the engine's serving pattern — the push
     work happened incrementally during the stream)."""
@@ -150,15 +178,16 @@ def config4_retrieval(scale: int = 1, s: int = 512, k: int = 100) -> dict:
     from pprx.retrieve.topk import topk_candidates
 
     n, m = 500_000 * scale, 5_000_000 * scale
-    src, dst, _ = synthetic_powerlaw_stream(n, m, seed=4)
+    src, dst, n = _stream(graph, n, m, seed=4)
+    m = src.shape[0]
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     rng = np.random.default_rng(0)
     queries = rng.integers(0, n, size=s).tolist()
-    graph = WindowGraph.from_coo(src, dst, n)
+    window = WindowGraph.from_coo(src, dst, n)
     state = init_state(n, queries, mode=FORWARD)
     t0 = time.perf_counter()
     state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
-        state, graph, cfg=cfg
+        state, window, cfg=cfg
     )
     _sync(state.p)
     cold_s = time.perf_counter() - t0
@@ -195,28 +224,31 @@ def config5_sharded(
     b: int = 0,
     s: int = 0,
     steps: int = 5,
+    graph: str | None = None,
+    scale: int = 1,
 ) -> dict:
     """Pod-scale row-sharded slide step (runs on however many devices exist;
     the 8-device CPU mesh in tests, real chips on a pod). Default engine is
     the compact-frontier 'wl' path (bucketed a2a frontier exchange,
-    SURVEY.md §3.5); pass engine='dense' for the reduce-scatter baseline.
-    Shape overrides (n/w/b/s) allow running the single-chip headline shapes
-    for the per-chip comparison (VERDICT round-1 item 2)."""
+    SURVEY.md §3.5); 'wlp' is the memory-proportional variant, 'dense' the
+    reduce-scatter baseline. Defaults are the HEADLINE shapes (same as
+    bench.py) so a mesh-1x1 run on a real chip measures the sharding tax
+    directly; pass small n/w/b/s overrides for CPU-mesh smoke runs
+    (VERDICT round-2 item 1)."""
     import jax
 
     from pprx.config import PprConfig, StreamConfig
     from pprx.dist.mesh import make_row_mesh
     from pprx.dist.stream import ShardedStreamDriver
-    from pprx.graph.io import synthetic_powerlaw_stream
 
     if n_rows == 0:
         n_rows = max(1, len(jax.devices()) // n_srcs)
     mesh = make_row_mesh(n_rows, n_srcs)
-    n = n or 20_000
-    w = w or 200_000
-    b = b or 2_000
-    s = s or 2 * n_srcs
-    src, dst, _ = synthetic_powerlaw_stream(n, w + (steps + 4) * b, seed=5)
+    n = n or 200_000 * scale
+    w = w or 2_000_000 * scale
+    b = b or 160_000 * scale
+    s = s or 128
+    src, dst, n = _stream(graph, n, w + (steps + 4) * b, seed=5)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = ShardedStreamDriver(
         src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),

@@ -268,7 +268,12 @@ def cmd_bench(args):
     if args.config:
         from pprx.bench.run import run_config
 
-        print(json.dumps(run_config(args.config)))
+        kw = {}
+        if args.graph:
+            kw["graph"] = args.graph
+        if args.scale != 1:
+            kw["scale"] = args.scale
+        print(json.dumps(run_config(args.config, **kw)))
         return
     import bench
 
@@ -344,6 +349,13 @@ def main(argv=None):
         default=0,
         help="run one of the five [BASELINE] milestone configs instead",
     )
+    p.add_argument(
+        "--graph",
+        default=None,
+        help="packed .npz edge stream (pprx convert output) to run the "
+        "config on instead of the synthetic power-law stand-in",
+    )
+    p.add_argument("--scale", type=int, default=1)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

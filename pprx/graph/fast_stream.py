@@ -159,11 +159,13 @@ class FastStreamDriver:
             build_kill_graph, static_argnames=("mode", "fring")
         )(window, mode=mode, fring=self.fring)
         self.state = init_state(n, queries, mode=mode, dtype=dtype)
-        # edge-lane tier top: the post-slide frontier's snapshot edges scale
-        # with ~4b endpoints times mean degree; the ladder must reach it or
-        # the first rounds after a slide fall to dense scans (tier sweep in
-        # PERFORMANCE.md round 2)
-        self.e_top = e_top if e_top is not None else min(max(32 * b, 262_144), w // 2)
+        # edge-lane tier top: big post-slide frontiers should fall to the
+        # delivery-sorted dense scan (segment-sum kernel) rather than run
+        # top-tier worklist rounds whose UNSORTED residual scatter costs
+        # ~70 ns/row — the round-3 sweep measured e_top=1M at 675k updates/s
+        # vs e_top in [128k, 256k] at 0.94-1.25M on the headline config
+        # (PERFORMANCE.md round 3)
+        self.e_top = e_top if e_top is not None else min(max(8 * b, 65_536), 262_144, w // 2)
         self.tiers = make_tiers2(n, w, self.fring, self.e_top, n_tiers=n_tiers)
         self.rebuild_every = rebuild_every
         self.fcnt = 0

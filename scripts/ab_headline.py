@@ -81,9 +81,9 @@ def run_once(kw):
     return ups, wall, rounds, wl
 
 
-for pass_i in range(2):
+for pass_i in range(int(os.environ.get("AB_PASSES", 2))):
     for name, kw in VARIANTS:
         ups, wall, rounds, wl = run_once(kw)
-        tag = "WARM" if pass_i == 0 else "MEAS"
+        tag = "WARM" if pass_i == 0 else f"MEAS{pass_i}"
         print(f"[{tag}] {name}: {ups/1e3:8.1f}k updates/s  wall={wall:6.3f}s  "
               f"rounds={rounds} wl={wl}", flush=True)

@@ -89,3 +89,27 @@ def test_stream_sharded_engine(graph_npz, tmp_path, capsys):
     assert out["steps"] == 3
     assert out["n_chips"] == 8
     assert out["updates_per_sec"] > 0
+
+
+def test_bench_config2_on_packed_graph(graph_npz):
+    """Milestone config 2 consumes a real packed .npz stream (VERDICT
+    round-2 item 7): n comes from the file, the stream is tiled to cover
+    window + slides, and the run reports sane throughput fields."""
+    from pprx.bench.run import run_config
+
+    out = run_config(2, graph=graph_npz, w=400, b=40, steps=2)
+    assert out["config"] == 2
+    assert out["n"] == 50  # from the packed file, not the synthetic default
+    assert out["window"] == 400 and out["slide"] == 40
+    assert out["updates_per_sec"] > 0
+    assert out["rounds"] > 0
+
+
+def test_bench_config5_small_shapes():
+    """Config 5 headline defaults are overridable down to CPU-mesh smoke
+    shapes; the wlp engine is selectable."""
+    from pprx.bench.run import run_config
+
+    out = run_config(5, n=2_000, w=20_000, b=200, s=2, steps=2, engine="wlp")
+    assert out["config"] == 5 and out["engine"] == "wlp"
+    assert out["updates_per_sec"] > 0
