@@ -226,6 +226,9 @@ def config5_sharded(
     steps: int = 5,
     graph: str | None = None,
     scale: int = 1,
+    ccap: int = 0,
+    e_top: int = 0,
+    fring: int = 0,
 ) -> dict:
     """Pod-scale row-sharded slide step (runs on however many devices exist;
     the 8-device CPU mesh in tests, real chips on a pod). Default engine is
@@ -250,9 +253,16 @@ def config5_sharded(
     s = s or 128
     src, dst, n = _stream(graph, n, w + (steps + 4) * b, seed=5)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
+    chips = n_rows * n_srcs
+    # per-round delivery quota: K*ccap rows; at small K the default 2048
+    # starves mid-size frontiers into dense-flush rounds (PERFORMANCE.md
+    # round 3 mesh-1x1 table), so scale it with the slide unless overridden
+    ccap = ccap or max(2048, min(65_536, 4 * b // max(n_rows, 1)))
     drv = ShardedStreamDriver(
         src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),
-        mesh, engine=engine,
+        mesh, engine=engine, ccap=ccap,
+        e_top=e_top or min(max(8 * b // max(n_rows, 1), 65_536), 262_144),
+        fring=fring or None,
     )
     drv.seed()
     for _ in drv.run(3):
@@ -262,7 +272,6 @@ def config5_sharded(
     stats = list(drv.run(steps))
     _sync(drv.p)
     wall = time.perf_counter() - t0
-    chips = n_rows * n_srcs
     return {
         "config": 5,
         "mesh": f"{n_rows}x{n_srcs}",

@@ -71,6 +71,7 @@ class ShardedStreamDriver:
         engine: str = "dense",
         ccap: int = 2048,
         fring: int | None = None,
+        e_top: int | None = None,
     ):
         """engine: 'dense' (reduce-scatter rounds, pprx.dist.sharded),
         'wl' (compact-frontier rounds with bucketed a2a, pprx.dist.wl), or
@@ -96,7 +97,8 @@ class ShardedStreamDriver:
                 mesh, n, len(queries),
                 ecap=w if ecap is None else ecap,
                 bcap=scfg.slide, cfg=cfg, mode=mode, dtype=dtype,
-                ccap=ccap, fring=fring, proportional=(engine == "wlp"),
+                ccap=ccap, fring=fring, e_top=e_top,
+                proportional=(engine == "wlp"),
             )
         else:
             self.eng = ShardedEngine(

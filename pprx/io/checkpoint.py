@@ -166,7 +166,9 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
 
 
 _WL_SNAP_KEYS = (
-    "soff", "snbr", "srl", "spos", "slane",
+    "soff", "snbr", "srl", "spos",
+    "d_gat", "d_sca", "d_pos", "d_toff",
+    "fd_gat", "fd_sca", "fd_toff",
     "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
 )
 
