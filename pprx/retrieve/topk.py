@@ -32,9 +32,13 @@ def topk_candidates(
     The exact path is two-stage: per-chunk ``lax.top_k`` (each global top-k
     element is top-k within its own chunk, so the union of per-chunk winners
     provably contains the answer) followed by a final top-k over the m*k
-    survivors. One huge per-source sort ([S, N] variadic sort — 87 ms at
-    N=500k/S=512 on v5e) becomes m small ones (cuts both the sort length and
-    its log factor); measured 4.6x on config 4's shapes.
+    survivors — the single-stage [S, N] variadic sort is pathological on
+    this toolchain (round-3 re-measure: its compile alone exceeded 19 min
+    at N=500k/S=512). Round-3 measured latency at config-4 shapes: 111 ms
+    at chunk=2048 (best of the 2k..32k sweep; smaller chunks win — the
+    stage-1 sort length dominates). The <10 ms serving head is the approx
+    path (8.9 ms; recall/latency trade in PERFORMANCE.md round 3) — exact
+    is the eval/offline head.
     """
     scores_t = p[:-1].T  # [S, N]
     if not exact:
