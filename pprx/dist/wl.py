@@ -88,6 +88,11 @@ def make_wl_tiers(
     return tuple(tiers)
 
 
+# non-prop compact rounds switch to sort-based dedup+bucketing above this
+# many emission lanes (the winner-dedup cbuf scatter is unsorted, ~70ns/row)
+SORT_BUCKET_MIN = 65_536
+
+
 def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     """Dedup-by-sort + owner-bucket of (global id, mass) pairs — the
     memory-proportional replacement for winner-dedup (which needs an
@@ -411,37 +416,60 @@ class ShardedWlEngine(ShardedEngine):
                 ids = jnp.concatenate([g1, g2])  # [L], invalid = n_pad
                 vals = jnp.concatenate([c1, c2])
                 L = e_i + g_i
-                lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
-                # winner-dedup over GLOBAL target ids
-                scratch = jnp.zeros(n_pad + 1, jnp.int32).at[ids].set(lane)
-                win = jnp.logical_and(scratch[ids] == lane, ids < n_pad)
-                ucnt = jnp.sum(win, dtype=jnp.int32)
-                (cpos,) = jnp.nonzero(win, size=L, fill_value=0)
-                inr = jax.lax.broadcasted_iota(jnp.int32, (L,), 0) < ucnt
-                uids = jnp.where(inr, ids[cpos], n_pad)
-                # compact per-target mass: every lane adds into its winner row
-                cidx = jnp.zeros(n_pad + 1, jnp.int32).at[uids].set(lane)
-                cbuf = jnp.zeros((L, s_loc), dtype).at[cidx[ids]].add(vals)
-                # bucket unique targets by owner shard
-                owner = jnp.where(inr, uids // n_local, K)
-                rank = jnp.zeros(L, jnp.int32)
-                for k in range(K):
-                    mk = owner == k
-                    rank = jnp.where(mk, jnp.cumsum(mk.astype(jnp.int32)) - 1, rank)
-                sendable = jnp.logical_and(owner < K, rank < ccap)
-                flat = jnp.where(sendable, owner * ccap + rank, K * ccap)
-                send_ids = jnp.full(K * ccap + 1, n_local, jnp.int32).at[flat].set(
-                    jnp.where(sendable, uids - owner * n_local, n_local)
-                )[: K * ccap]
-                send_mass = jnp.zeros((K * ccap + 1, s_loc), dtype).at[flat].set(
-                    cbuf * sendable[:, None].astype(dtype)
-                )[: K * ccap]
-                # leftovers wait in the carry outbox (flushed by dense rounds)
-                left = jnp.logical_and(owner < K, rank >= ccap)
-                carry = carry.at[jnp.clip(uids, 0, n_pad - 1)].add(
-                    cbuf * left[:, None].astype(dtype)
-                )
-                pend = pend + jnp.sum(left, dtype=jnp.int32)
+                if L >= SORT_BUCKET_MIN:
+                    # big rounds: sort-based dedup+bucketing — the
+                    # winner-dedup's L-sized UNSORTED cbuf scatter costs
+                    # ~70 ns/row (PERFORMANCE.md round 3); sorted_bucket
+                    # replaces it (and the O(K*L) rank loop) with one sort
+                    # + sorted segment scatter
+                    send_ids, send_mass, cids, cmass, pend2 = sorted_bucket(
+                        ids, vals, K, n_local, n_pad, ccap,
+                        min(L, n_pad), dtype,
+                    )
+                    carry = carry.at[jnp.clip(cids, 0, n_pad - 1)].add(
+                        cmass * (cids < n_pad).astype(dtype)[:, None]
+                    )
+                    pend = pend + pend2
+                else:
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+                    # winner-dedup over GLOBAL target ids
+                    scratch = jnp.zeros(n_pad + 1, jnp.int32).at[ids].set(lane)
+                    win = jnp.logical_and(scratch[ids] == lane, ids < n_pad)
+                    ucnt = jnp.sum(win, dtype=jnp.int32)
+                    (cpos,) = jnp.nonzero(win, size=L, fill_value=0)
+                    inr = jax.lax.broadcasted_iota(jnp.int32, (L,), 0) < ucnt
+                    uids = jnp.where(inr, ids[cpos], n_pad)
+                    # compact per-target mass: every lane adds into its
+                    # winner row
+                    cidx = jnp.zeros(n_pad + 1, jnp.int32).at[uids].set(lane)
+                    cbuf = jnp.zeros((L, s_loc), dtype).at[cidx[ids]].add(vals)
+                    # bucket unique targets by owner shard
+                    owner = jnp.where(inr, uids // n_local, K)
+                    rank = jnp.zeros(L, jnp.int32)
+                    for k in range(K):
+                        mk = owner == k
+                        rank = jnp.where(
+                            mk, jnp.cumsum(mk.astype(jnp.int32)) - 1, rank
+                        )
+                    sendable = jnp.logical_and(owner < K, rank < ccap)
+                    flat = jnp.where(sendable, owner * ccap + rank, K * ccap)
+                    send_ids = jnp.full(
+                        K * ccap + 1, n_local, jnp.int32
+                    ).at[flat].set(
+                        jnp.where(sendable, uids - owner * n_local, n_local)
+                    )[: K * ccap]
+                    send_mass = jnp.zeros(
+                        (K * ccap + 1, s_loc), dtype
+                    ).at[flat].set(
+                        cbuf * sendable[:, None].astype(dtype)
+                    )[: K * ccap]
+                    # leftovers wait in the carry outbox (flushed by dense
+                    # rounds)
+                    left = jnp.logical_and(owner < K, rank >= ccap)
+                    carry = carry.at[jnp.clip(uids, 0, n_pad - 1)].add(
+                        cbuf * left[:, None].astype(dtype)
+                    )
+                    pend = pend + jnp.sum(left, dtype=jnp.int32)
                 # THE exchange: one all_to_all of (local id, mass) buckets
                 recv_ids = jax.lax.all_to_all(
                     send_ids.reshape(K, ccap), "rows",

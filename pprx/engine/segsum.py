@@ -103,9 +103,17 @@ def _segsum_kernel(tile_off_ref, rin_ref, contrib_hbm, seg_hbm, out_ref,
         b.wait()
         for gi in range(g):
             seg_row = sbuf[slot, pl.ds(gi, 1), :]  # [1, 128] int32
-            m = (seg_row == row_ids).astype(acc.dtype)  # [tr, 128]
             c_g = cbuf[slot, pl.ds(gi * 128, 128), :]  # [128, S]
-            if precision in ("split", "split3"):
+            # bf16 contribs: one default-precision MXU pass (the one-hot m
+            # is exact in bf16; bf16 x bf16 -> f32 accumulation) — halves
+            # the contribution DMA vs f32+limb-splitting, at the cost of
+            # 2^-9-relative delivery rounding (opt-in, see dense_round)
+            m = (seg_row == row_ids).astype(
+                c_g.dtype if c_g.dtype == jnp.bfloat16 else acc.dtype
+            )  # [tr, 128]
+            if c_g.dtype == jnp.bfloat16:
+                acc[...] += jnp.dot(m, c_g, preferred_element_type=acc.dtype)
+            elif precision in ("split", "split3"):
                 # exact-one-hot m times a bf16 limb split of the values:
                 # each DEFAULT-precision MXU pass is exact (m's 0/1 entries
                 # are exact in bf16, limb products are exact, f32
@@ -167,6 +175,7 @@ def segsum_add(
         interpret = jax.default_backend() != "tpu"
     n_rows, s = rin.shape
     w_pad = contribs.shape[0]
+    assert contribs.dtype in (rin.dtype, jnp.bfloat16)
     assert w_pad % ec == 0 and ec % 128 == 0
     assert seg2d.shape == (w_pad // 128, 128)
     ntiles = pl.cdiv(n_rows, tr)
@@ -188,7 +197,7 @@ def segsum_add(
         input_output_aliases={1: 0},  # rin -> out: in-place base update
         scratch_shapes=[
             pltpu.VMEM((tr, s), rin.dtype),
-            pltpu.VMEM((2, ec, s), rin.dtype),
+            pltpu.VMEM((2, ec, s), contribs.dtype),
             pltpu.VMEM((2, ec // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -167,7 +167,8 @@ def build_kill_graph(window: WindowGraph, mode: int, fring: int) -> KillGraph:
 
 
 def dense_round_sorted(
-    state: PprState, kg: KillGraph, cfg: PprConfig, segsum: bool = False
+    state: PprState, kg: KillGraph, cfg: PprConfig, segsum: bool = False,
+    bf16d: bool = False,
 ) -> tuple[PprState, jnp.ndarray, jnp.ndarray]:
     """Dense push round over the delivery-sorted snapshot + fresh ring.
 
@@ -199,7 +200,15 @@ def dense_round_sorted(
     if state.mode == FORWARD:
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
         moving = (1.0 - alpha) * mass * inv_deg
-        if segsum:
+        if segsum and bf16d:
+            # bf16 DELIVERY (opt-in): residual removal above stays exact
+            # f32 (rows must hit exact zero); only the delivered increments
+            # carry 2^-9-relative rounding. Halves the gather + kernel DMA
+            # bytes of the dense round's dominant term.
+            mb = moving.astype(jnp.bfloat16)
+            r2 = segsum_add(r2, mb[kg.d_gat], seg2d, kg.d_toff)
+            r2 = segsum_add(r2, mb[kg.fd_gat], seg2d_f, kg.fd_toff)
+        elif segsum:
             r2 = segsum_add(r2, moving[kg.d_gat], seg2d, kg.d_toff)
             r2 = segsum_add(r2, moving[kg.fd_gat], seg2d_f, kg.fd_toff)
         else:
@@ -215,9 +224,14 @@ def dense_round_sorted(
         outmass = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
         if segsum:
-            contribs = outmass[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None]
+            om = outmass.astype(jnp.bfloat16) if bf16d else outmass
+            contribs = (om[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None].astype(
+                om.dtype
+            ))
             r2 = segsum_add(r2, contribs, seg2d, kg.d_toff)
-            contribs_f = outmass[kg.fd_gat] * inv_deg[kg.fd_sca, 0][:, None]
+            contribs_f = (om[kg.fd_gat] * inv_deg[kg.fd_sca, 0][
+                :, None
+            ].astype(om.dtype))
             r2 = segsum_add(r2, contribs_f, seg2d_f, kg.fd_toff)
         else:
             delta = jnp.zeros_like(r2).at[kg.d_sca].add(
@@ -329,6 +343,12 @@ def make_tiers2(
     return tuple(tiers)
 
 
+# big compact rounds deliver via sort + segment-sum instead of an unsorted
+# scatter (~70 ns/row): above this many total lanes the sort+sorted path
+# wins (A/B on v5e, PERFORMANCE.md round 3)
+SORT_DELIVER_MIN = 131_072
+
+
 def _compact_round(
     state: PprState,
     kg: KillGraph,
@@ -338,6 +358,7 @@ def _compact_round(
     g_cap: int,
     emit_w: int,
     rescan_emit: bool,
+    segsum: bool = False,
 ):
     """One push round over the compact candidate list ``cand`` (unique live
     rows first, phantom-padded). Caller guarantees: cand holds every active
@@ -391,9 +412,39 @@ def _compact_round(
 
     # one scatter: residual removal at cand + delivery at both target lists
     tgt_d = jnp.concatenate([nbr1, nbr2])
-    r2 = state.r.at[jnp.concatenate([cand, tgt_d])].add(
-        jnp.concatenate([-mass, c1, c2])
-    )
+    keys = jnp.concatenate([cand, tgt_d])
+    vals = jnp.concatenate([-mass, c1, c2])
+    L = keys.shape[0]
+    if segsum and L >= SORT_DELIVER_MIN:
+        # delivery-sorted big round: sort (key, lane) once, then run the
+        # same MXU segment-sum kernel as the dense scans over a per-round
+        # tile_off built from the sorted keys (masked lanes carry zero
+        # values, phantom-row deliveries are re-zeroed below)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+        keys_s, order = jax.lax.sort((keys, lane), num_keys=1, is_stable=True)
+        vals_s = vals[order]
+        lp = pad_len(L)
+        keys_p = jnp.concatenate([keys_s, jnp.full(lp - L, n, jnp.int32)])
+        vals_p = jnp.concatenate(
+            [vals_s, jnp.zeros((lp - L, vals.shape[1]), vals.dtype)]
+        )
+        counts = jnp.zeros(n + 1, jnp.int32).at[keys_s].add(
+            1, indices_are_sorted=True
+        )
+        offs = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+        )
+        r2 = segsum_add(
+            state.r, vals_p, keys_p.reshape(-1, 128),
+            tile_offsets(offs, n + 1, SEGSUM_TR),
+        )
+        r2 = r2.at[-1].set(0.0)
+    elif L >= SORT_DELIVER_MIN:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+        keys_s, order = jax.lax.sort((keys, lane), num_keys=1, is_stable=True)
+        r2 = state.r.at[keys_s].add(vals[order], indices_are_sorted=True)
+    else:
+        r2 = state.r.at[keys].add(vals)
 
     edge_work = jnp.sum(
         act_c * (kg.row_len[cand] + kg.f_len[cand])[:, None], dtype=jnp.float32
@@ -436,6 +487,7 @@ def push_to_convergence_wl2(
     c0ok,
     tiers: tuple[tuple[int, int, int], ...],
     segsum: bool = False,
+    bf16d: bool = False,
 ) -> tuple[PprState, PushStats]:
     """On-device convergence loop; each iteration runs at the smallest
     capacity tier whose EXACT frontier counts fit, or one dense COO round +
@@ -492,7 +544,8 @@ def push_to_convergence_wl2(
 
             def br(st):
                 st2, c2, cn2, fed2, fre2, ok2, na, ew = _compact_round(
-                    st, kg, cfg, cand[:w_i], e_i, g_i, emit_w2, rescan
+                    st, kg, cfg, cand[:w_i], e_i, g_i, emit_w2, rescan,
+                    segsum=segsum,
                 )
                 return st2, pad(c2, emit_w2), cn2, fed2, fre2, ok2, na, ew
 
@@ -514,7 +567,9 @@ def push_to_convergence_wl2(
             )
 
         def scan(st):
-            st2, na, ew = dense_round_sorted(st, kg, cfg, segsum=segsum)
+            st2, na, ew = dense_round_sorted(
+                st, kg, cfg, segsum=segsum, bf16d=bf16d
+            )
             act2 = _active_mask(st2, kg.window, cfg)
             any2 = jnp.any(act2[:n], axis=1)
             cn2 = jnp.sum(any2, dtype=jnp.int32)

@@ -39,7 +39,8 @@ from pprx.graph.dynamic import WindowGraph
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tiers", "segsum"), donate_argnums=(0, 1)
+    jax.jit, static_argnames=("cfg", "tiers", "segsum", "bf16d"),
+    donate_argnums=(0, 1),
 )
 def wl2_slide_step(
     state: PprState,
@@ -55,6 +56,7 @@ def wl2_slide_step(
     cfg: PprConfig,
     tiers: tuple[tuple[int, int, int], ...],
     segsum: bool = False,
+    bf16d: bool = False,
 ) -> tuple[PprState, KillGraph, PushStats]:
     n = kg.n
     # corrections need the OLD window buffer (reverse-mode row sums), so
@@ -85,7 +87,7 @@ def wl2_slide_step(
     )
     kg = refresh_fresh_csr(kg)
     state, stats = push_to_convergence_wl2(
-        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum
+        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum, bf16d=bf16d
     )
     return state, kg, stats
 
@@ -96,24 +98,26 @@ def _rebuild_kill_jit(kg: KillGraph, mode: int, fring: int) -> KillGraph:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tiers", "segsum"), donate_argnums=(0,)
+    jax.jit, static_argnames=("cfg", "tiers", "segsum", "bf16d"),
+    donate_argnums=(0,),
 )
-def _seed_wl2_jit(state, kg, cand0, c0n, cfg, tiers, segsum=False):
+def _seed_wl2_jit(state, kg, cand0, c0n, cfg, tiers, segsum=False, bf16d=False):
     return push_to_convergence_wl2(
-        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum
+        state, kg, cfg, cand0, c0n, True, tiers, segsum=segsum, bf16d=bf16d
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tiers", "segsum"), donate_argnums=(0,)
+    jax.jit, static_argnames=("cfg", "tiers", "segsum", "bf16d"),
+    donate_argnums=(0,),
 )
-def _refine_wl2_jit(state, kg, cfg, tiers, segsum=False):
+def _refine_wl2_jit(state, kg, cfg, tiers, segsum=False, bf16d=False):
     # c0ok=False forces the first round to be a dense scan, which reseeds
     # the candidate list exactly for the tighter threshold
     cand0 = jnp.full(8, kg.n, jnp.int32)
     return push_to_convergence_wl2(
         state, kg, cfg, cand0, jnp.zeros((), jnp.int32), False, tiers,
-        segsum=segsum,
+        segsum=segsum, bf16d=bf16d,
     )
 
 
@@ -134,6 +138,7 @@ class FastStreamDriver:
         e_top: int | None = None,
         n_tiers: int = 5,
         segsum: bool | None = None,
+        bf16d: bool = False,
     ):
         if stream_src.shape[0] < scfg.window:
             raise ValueError("stream shorter than one window")
@@ -186,6 +191,11 @@ class FastStreamDriver:
                 and len(self._queries) % 128 == 0
             )
         self.segsum = bool(segsum)
+        # bf16 dense-round DELIVERY (residual removal stays exact f32):
+        # halves the dominant gather+DMA bytes; delivered increments carry
+        # 2^-9-relative rounding. Opt-in — measured precision/throughput
+        # trade in PERFORMANCE.md round 3.
+        self.bf16d = bool(bf16d) and self.segsum
 
     def seed(self) -> PushStats:
         q = np.unique(np.asarray(self._queries, np.int32))
@@ -199,6 +209,7 @@ class FastStreamDriver:
             cfg=self.cfg,
             tiers=self.tiers,
             segsum=self.segsum,
+            bf16d=self.bf16d,
         )
         return stats
 
@@ -216,7 +227,7 @@ class FastStreamDriver:
         cfg_r = dataclasses.replace(self.cfg, eps=eps)
         self.state, stats = _refine_wl2_jit(
             self.state, self.graph, cfg=cfg_r, tiers=self.tiers,
-            segsum=self.segsum,
+            segsum=self.segsum, bf16d=self.bf16d,
         )
         return stats
 
@@ -268,6 +279,7 @@ class FastStreamDriver:
                 cfg=self.cfg,
                 tiers=self.tiers,
                 segsum=self.segsum,
+                bf16d=self.bf16d,
             )
             self.hsrc[slots] = new_src
             self.hdst[slots] = new_dst

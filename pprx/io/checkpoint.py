@@ -69,6 +69,7 @@ def save_checkpoint(path: str, drv) -> None:
             "fcnt": drv.fcnt,
             "queries": [int(q) for q in drv._queries],
             "segsum": drv.segsum,
+            "bf16d": drv.bf16d,
         }
         kg = drv.graph
         extra = {
@@ -120,6 +121,7 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
         drv._queries = list(tune["queries"])
         drv.tiers = tuple(tuple(t) for t in tune["tiers"])
         drv.segsum = bool(tune.get("segsum", False))
+        drv.bf16d = bool(tune.get("bf16d", False))
         kg_fields = {
             f: jnp.asarray(z[f"kg_{f}"])
             for f in (

@@ -204,3 +204,29 @@ def test_wl_slide_overflow_stays_within_bound():
     for qi, q in enumerate(queries):
         pi = exact_ppr(src[lo:drv.head], dst[lo:drv.head], n, q, CFG.alpha, tol=1e-13)
         assert np.abs(p[:n, qi] - pi).max() < 50 * CFG.eps
+
+
+@pytest.mark.parametrize("mode", [FORWARD, REVERSE])
+def test_wl_push_sorted_bucket_path(monkeypatch, mode):
+    """Force every compact round onto the sort-based dedup+bucket path
+    (used for big emissions on hardware): must stay exact vs the
+    single-device engine."""
+    import pprx.dist.wl as wlmod
+
+    monkeypatch.setattr(wlmod, "SORT_BUCKET_MIN", 1)
+    rng = np.random.default_rng(0)
+    n, m = 50, 300
+    src, dst = random_multigraph(rng, n, m)
+    queries = [0, 7, 13, 25]
+    mesh = make_row_mesh(4, 1)
+    eng = ShardedWlEngine(
+        mesh, n, len(queries), ecap=m, bcap=8, cfg=CFG, mode=mode,
+        dtype=jnp.float64, ccap=64,
+    )
+    p, r = eng.init_state(queries)
+    deg, egl, eog, eva, _, snap = eng.device_graph_wl(src, dst)
+    p, r, rounds, *_ = eng.push_wl(p, r, deg, snap)
+    assert int(rounds) < CFG.max_rounds
+    p_ref, r_ref, _ = reference(src, dst, n, queries, mode)
+    np.testing.assert_allclose(np.asarray(p)[:n], p_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r)[:n], r_ref, atol=1e-12)

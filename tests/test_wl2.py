@@ -123,3 +123,47 @@ def test_fast_stream_determinism():
     p2, r2 = run()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(r1, r2)
+
+
+@pytest.mark.parametrize("segsum", [False, True])
+def test_wl2_sorted_delivery_parity(monkeypatch, segsum):
+    """Force every compact round onto the sorted-delivery path (and the
+    per-round segment-sum when segsum=True) by dropping SORT_DELIVER_MIN:
+    the sorted/kernel delivery must be exact vs the dense engine."""
+    import pprx.engine.wl2 as wl2mod
+
+    monkeypatch.setattr(wl2mod, "SORT_DELIVER_MIN", 1)
+    _wl2_convergence_case(FORWARD, ((64, 512, 16),), segsum)
+    _wl2_convergence_case(REVERSE, ((8, 32, 4), (64, 512, 16)), segsum)
+
+
+def test_fast_stream_bf16_delivery_close():
+    """bf16 dense-round delivery (opt-in): residual removal stays exact, so
+    the stream converges, conserves mass, and tracks the f32 engine within
+    bf16 rounding of the delivered increments."""
+    n, total = 60, 900
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=4)
+    scfg = StreamConfig(window=600, slide=60)
+    cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=5000)
+
+    def run(bf16d):
+        drv = FastStreamDriver(
+            src, dst, n, [0, 5, 11], cfg, scfg, dtype=jnp.float32,
+            rebuild_every=3, segsum=True, bf16d=bf16d,
+        )
+        drv.seed()
+        for _ in drv.run(4):
+            pass
+        return np.asarray(drv.state.p), np.asarray(drv.state.r)
+
+    p32, r32 = run(False)
+    p16, r16 = run(True)
+    # delivered mass is rounded to bf16, so conservation holds only to
+    # ~2^-9 of the total moved mass (the documented error model)
+    np.testing.assert_allclose(
+        p16[:n].sum(axis=0) + r16[:n].sum(axis=0), 1.0, atol=1e-2
+    )
+    np.testing.assert_allclose(p16, p32, atol=1e-2)
+    # and it is a real approximation, not a broken path: the bulk of the
+    # mass landed in the right places
+    assert np.abs(p16 - p32).max() < 0.02
