@@ -206,6 +206,21 @@ def reverse_corrections(
     eva2 = eva2.at[write_slots].set(write_v)
     eva2 = eva2.at[-1].set(0)
 
+    r, d_new = reverse_apply(
+        p, r, deg, del_u, del_v, ins_u, ins_v, s_old, s_new, alpha_f, dtype
+    )
+    return p, r, d_new, egl2, eog2, eva2
+
+
+def reverse_apply(p, r, deg, del_u, del_v, ins_u, ins_v, s_old, s_new,
+                  alpha_f, dtype):
+    """Tail of the reverse-mode corrections, shared by the acc-sweep form
+    above and the delivery-sorted form in pprx.dist.wl: given this shard's
+    OLD and NEW out-row sums of p, apply r += beta*((P'p) - (Pp)) and the
+    degree update. Returns (r, d_new)."""
+    alpha = jnp.asarray(alpha_f, dtype)
+    beta = (1.0 - alpha) / alpha
+    nloc = deg.shape[0]
     k_del = jnp.zeros(nloc, jnp.int32).at[del_u].add(del_v)
     k_ins = jnp.zeros(nloc, jnp.int32).at[ins_u].add(ins_v)
     d_new = deg - k_del + k_ins
@@ -214,7 +229,7 @@ def reverse_corrections(
     pp_old = jnp.where((deg == 0)[:, None], p, s_old / d0f[:, None])
     pp_new = jnp.where((d_new == 0)[:, None], p, s_new / dnf[:, None])
     r = r + beta * (pp_new - pp_old)
-    return p, r, d_new, egl2, eog2, eva2
+    return r, d_new
 
 
 class ShardedEngine:

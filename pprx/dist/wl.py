@@ -16,7 +16,16 @@ compact-frontier machinery (pprx.engine.wl2) PER SHARD inside shard_map:
 - bucket overflow goes to a local [N_pad, S] carry outbox; any pending
   carry forces the next round onto the DENSE path (full local expansion +
   carry flush + psum_scatter + exact activity rescan), the proven overflow
-  semantics of the dense engine's a2a mode — mass is never dropped;
+  semantics of the dense engine's a2a mode — mass is never dropped.
+  ``proportional=True`` replaces both with a compact sorted carry drained
+  by dedicated a2a rounds (no [N_pad, S] arrays anywhere; see
+  ``sorted_bucket`` and the class docstring);
+- big emissions (and, in the proportional engine, every round) dedup and
+  bucket by SORT instead of the winner-scatter: one stable multi-operand
+  sort + a sorted segment scatter + K+1 scalar binary searches
+  (``sorted_bucket``); dense-flush rounds and the reverse slide's rowsum
+  sweep deliver through the delivery-sorted snapshot/fresh views (same
+  segment-sum kernel as the single-chip engine);
 - the tier / dense decision is made UNIFORM along 'rows' by pmax-ing the
   per-shard frontier counts (devices that share an all_to_all group must
   take the same branch); 'srcs' groups decide independently (their
@@ -49,7 +58,7 @@ from pprx.dist.sharded import (
     ShardedEngine,
     forward_corrections,
     forward_corrections_pairs,
-    reverse_corrections,
+    reverse_apply,
 )
 from pprx.engine.segsum import SEGSUM_TR, pad_len, segsum_add, tile_offsets
 from pprx.engine.state import FORWARD
@@ -968,11 +977,53 @@ class ShardedWlEngine(ShardedEngine):
                 del_u, del_v, ins_u, ins_v,
                 clear_slots, write_slots, write_dl, write_sg, write_v,
             ):
-                p, r, d_new, egl2, eog2, eva2 = reverse_corrections(
-                    p, r, deg, egl, eog, eva,
-                    del_u, del_v, ins_u, ins_v,
-                    clear_slots, write_slots, write_dl, write_sg, write_v,
-                    alpha_f, dtype, n_pad,
+                # reverse corrections with the rowsum sweep riding the
+                # delivery-sorted views: the parent's form scatters p[egl]
+                # UNSORTED over every window slot (the single largest
+                # reverse-slide term, VERDICT round-2 weak item 5); here
+                # s_old comes from the same sorted/segment-sum machinery as
+                # dense rounds (d view = snapshot-era live edges, fd view =
+                # fresh edges — together exactly the eva-live set)
+                s_loc = p.shape[1]
+                p_ext = jnp.concatenate([p, jnp.zeros((1, s_loc), dtype)])
+                if use_segsum:
+                    acc_old = segsum_add(
+                        jnp.zeros((n_pad, s_loc), dtype),
+                        p_ext[snap["d_gat"]],
+                        snap["d_sca"].reshape(-1, 128), snap["d_toff"],
+                    )
+                    acc_old = segsum_add(
+                        acc_old, p_ext[snap["fd_gat"]],
+                        snap["fd_sca"].reshape(-1, 128), snap["fd_toff"],
+                    )
+                else:
+                    acc_old = jnp.zeros((n_pad, s_loc), dtype).at[
+                        jnp.clip(snap["d_sca"], 0, n_pad - 1)
+                    ].add(p_ext[snap["d_gat"]], indices_are_sorted=True)
+                    acc_old = acc_old.at[
+                        jnp.clip(snap["fd_sca"], 0, n_pad - 1)
+                    ].add(p_ext[snap["fd_gat"]], indices_are_sorted=True)
+                old_v = eva[clear_slots].astype(dtype)[:, None]
+                acc_d = jnp.zeros((n_pad, s_loc), dtype).at[
+                    eog[clear_slots]
+                ].add(-p[egl[clear_slots]] * old_v)
+                acc_d = acc_d.at[write_sg].add(
+                    p[write_dl] * write_v.astype(dtype)[:, None]
+                )
+                red = jax.lax.psum_scatter(
+                    jnp.concatenate([acc_old, acc_d], axis=1), "rows",
+                    scatter_dimension=0, tiled=True,
+                )
+                s_old = red[:, :s_loc]
+                s_new = s_old + red[:, s_loc:]
+                eva2 = eva.at[clear_slots].set(0)
+                egl2 = egl.at[write_slots].set(write_dl)
+                eog2 = eog.at[write_slots].set(write_sg)
+                eva2 = eva2.at[write_slots].set(write_v)
+                eva2 = eva2.at[-1].set(0)
+                r, d_new = reverse_apply(
+                    p, r, deg, del_u, del_v, ins_u, ins_v, s_old, s_new,
+                    alpha_f, dtype,
                 )
                 snap2 = mutate_graph(snap, clear_slots, write_dl, write_sg, write_v)
                 p, r, rounds, pushes, epushes, wl = loop_fn(
