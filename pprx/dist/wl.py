@@ -41,7 +41,6 @@ the single-device engine is tested in tests/test_dist_wl.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

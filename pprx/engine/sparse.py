@@ -25,7 +25,6 @@ Exactness: sparse round == dense round to FP round-off on every state
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from pprx.config import PprConfig
-from pprx.engine.push import _active_mask, push_round_given_act
+from pprx.engine.push import _active_mask
 from pprx.engine.segsum import SEGSUM_TR, pad_len, segsum_add, tile_offsets
 from pprx.engine.state import FORWARD, PprState, PushStats
 from pprx.graph.dynamic import WindowGraph
