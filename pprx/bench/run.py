@@ -229,6 +229,7 @@ def config5_sharded(
     ccap: int = 0,
     e_top: int = 0,
     fring: int = 0,
+    bf16d: bool = False,
 ) -> dict:
     """Pod-scale row-sharded slide step (runs on however many devices exist;
     the 8-device CPU mesh in tests, real chips on a pod). Default engine is
@@ -262,7 +263,7 @@ def config5_sharded(
         src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),
         mesh, engine=engine, ccap=ccap,
         e_top=e_top or min(max(8 * b // max(n_rows, 1), 65_536), 262_144),
-        fring=fring or None,
+        fring=fring or None, bf16d=bf16d,
     )
     drv.seed()
     for _ in drv.run(3):

@@ -72,6 +72,7 @@ class ShardedStreamDriver:
         ccap: int = 2048,
         fring: int | None = None,
         e_top: int | None = None,
+        bf16d: bool = False,
     ):
         """engine: 'dense' (reduce-scatter rounds, pprx.dist.sharded),
         'wl' (compact-frontier rounds with bucketed a2a, pprx.dist.wl), or
@@ -98,7 +99,7 @@ class ShardedStreamDriver:
                 ecap=w if ecap is None else ecap,
                 bcap=scfg.slide, cfg=cfg, mode=mode, dtype=dtype,
                 ccap=ccap, fring=fring, e_top=e_top,
-                proportional=(engine == "wlp"),
+                proportional=(engine == "wlp"), bf16d=bf16d,
             )
         else:
             self.eng = ShardedEngine(

@@ -182,6 +182,7 @@ class ShardedWlEngine(ShardedEngine):
         n_tiers: int = 4,
         proportional: bool = False,
         segsum: bool | None = None,
+        bf16d: bool = False,
     ):
         """proportional=True builds the memory-proportional round loop
         (VERDICT round-2 item 2): no [n_pad, S] arrays anywhere — the carry
@@ -207,6 +208,12 @@ class ShardedWlEngine(ShardedEngine):
                 and (s_total // self.n_srcs) % 128 == 0
             )
         self.segsum = bool(segsum)
+        # bf16 DELIVERY (opt-in, same error model as the single-chip
+        # engine): dense-flush contributions ride the kernel in bf16 and
+        # a2a mass payloads ship as bf16 (HALVES the per-round ICI bytes on
+        # a pod); residual removal, thresholds, rowsum sweeps and the
+        # carry stay exact f32.
+        self.bf16d = bool(bf16d)
         self.wl_ccap = min(ccap, self.n_local)
         self.fring = max(bcap, fring if fring is not None else 8 * bcap)
         # snapshot arrays have ecap usable positions + 1 trash position
@@ -269,6 +276,7 @@ class ShardedWlEngine(ShardedEngine):
         cfg = self.cfg
         mode = self.mode
         use_segsum = self.segsum
+        use_bf16 = self.bf16d
         n = self.n
         K = self.n_rows
         n_local = self.n_local
@@ -479,6 +487,8 @@ class ShardedWlEngine(ShardedEngine):
                     )
                     pend = pend + jnp.sum(left, dtype=jnp.int32)
                 # THE exchange: one all_to_all of (local id, mass) buckets
+                if use_bf16:
+                    send_mass = send_mass.astype(jnp.bfloat16)
                 recv_ids = jax.lax.all_to_all(
                     send_ids.reshape(K, ccap), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
@@ -486,7 +496,7 @@ class ShardedWlEngine(ShardedEngine):
                 recv_mass = jax.lax.all_to_all(
                     send_mass.reshape(K, ccap, s_loc), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(-1, s_loc)
+                ).reshape(-1, s_loc).astype(dtype)
                 rc = jnp.clip(recv_ids, 0, n_local - 1)
                 if mode == FORWARD:
                     r = r.at[rc].add(recv_mass)
@@ -532,6 +542,8 @@ class ShardedWlEngine(ShardedEngine):
                 moving_ext = jnp.concatenate(
                     [moving, jnp.zeros((1, mass.shape[1]), dtype)]
                 )
+                if use_segsum and use_bf16:
+                    moving_ext = moving_ext.astype(jnp.bfloat16)
                 if use_segsum:
                     acc = segsum_add(
                         carry, moving_ext[d_gat],
@@ -660,6 +672,8 @@ class ShardedWlEngine(ShardedEngine):
             n_t = len(tiers)
 
             def deliver(r, send_ids, send_mass):
+                if use_bf16:
+                    send_mass = send_mass.astype(jnp.bfloat16)
                 recv_ids = jax.lax.all_to_all(
                     send_ids.reshape(K, ccap), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
@@ -667,7 +681,7 @@ class ShardedWlEngine(ShardedEngine):
                 recv_mass = jax.lax.all_to_all(
                     send_mass.reshape(K, ccap, s_loc), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(-1, s_loc)
+                ).reshape(-1, s_loc).astype(dtype)
                 rc = jnp.clip(recv_ids, 0, n_local - 1)
                 if mode == FORWARD:
                     r = r.at[rc].add(recv_mass)

@@ -210,6 +210,7 @@ def save_sharded_checkpoint(path: str, drv) -> None:
             "fring": drv.eng.fring,
             "e_top": drv.eng.e_top,
             "n_tiers": drv.eng.n_tiers,
+            "bf16d": drv.eng.bf16d,
             "tiers": [list(t) for t in drv.eng.tiers],
             "since_rb": drv._since_rb,
         }
@@ -282,6 +283,7 @@ def load_sharded_checkpoint(
             e_top=tune["e_top"],
             n_tiers=tune["n_tiers"],
             proportional=(meta["engine"] == "wlp"),
+            bf16d=bool(tune.get("bf16d", False)),
         )
         got = [list(t) for t in drv.eng.tiers]
         if got != tune["tiers"]:

@@ -230,3 +230,26 @@ def test_wl_push_sorted_bucket_path(monkeypatch, mode):
     p_ref, r_ref, _ = reference(src, dst, n, queries, mode)
     np.testing.assert_allclose(np.asarray(p)[:n], p_ref, atol=1e-12)
     np.testing.assert_allclose(np.asarray(r)[:n], r_ref, atol=1e-12)
+
+
+def test_wl_push_bf16_delivery_close():
+    """bf16 a2a/dense-delivery (opt-in): converges and tracks the exact
+    engine within the documented 2^-9-relative delivery rounding."""
+    rng = np.random.default_rng(2)
+    n, m = 50, 300
+    src, dst = random_multigraph(rng, n, m)
+    queries = [0, 7, 13, 25]
+    mesh = make_row_mesh(4, 1)
+    cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=5000)
+    eng = ShardedWlEngine(
+        mesh, n, len(queries), ecap=m, bcap=8, cfg=cfg, mode=FORWARD,
+        dtype=jnp.float32, ccap=64, bf16d=True,
+    )
+    p, r = eng.init_state(queries)
+    deg, egl, eog, eva, _, snap = eng.device_graph_wl(src, dst)
+    p, r, rounds, *_ = eng.push_wl(p, r, deg, snap)
+    assert int(rounds) < cfg.max_rounds
+    p_ref, _, _ = reference(src, dst, n, queries, FORWARD)
+    np.testing.assert_allclose(np.asarray(p)[:n], p_ref, atol=1e-2)
+    col = np.asarray(p)[:n].sum(axis=0) + np.asarray(r)[:n].sum(axis=0)
+    np.testing.assert_allclose(col, 1.0, atol=1e-2)
