@@ -11,12 +11,13 @@ pushes/s/chip (edge pushes executed per second) and top-100 retrieval
 precision vs exact PPR on the final window (the BASELINE.json metric trio).
 
 Timing protocol: the timed block (8 slides, one hard sync) runs
-PPRX_BENCH_REPS times (default 3) and the BEST block is reported. The
-device work per block is identical (the engine is deterministic; round
-counts match bit-for-bit across blocks) — the variance is the shared
-tunneled transport, measured at up to 3x wall-clock spread on identical
-device programs (PERFORMANCE.md round 3 "transport noise"). The JSON
-carries all block throughputs so the spread is visible.
+PPRX_BENCH_REPS times (default 3) over the SAME stream segment — driver
+state (p/r, snapshot, counters, host mirrors) is snapshotted before the
+first block and restored between blocks, so per-block device work is
+bit-identical and the BEST block isolates the shared tunneled transport's
+noise (measured at up to 3x wall-clock spread on identical programs;
+PERFORMANCE.md round 3 "transport noise"). The JSON carries all block
+throughputs so the spread is visible.
 
 Precision: maintained state at eps=1e-6 is refined AT RETRIEVAL TIME to
 eps_retrieve (PPRX_BENCH_EPS_R, default 5e-8) before the top-100 read —
@@ -99,7 +100,7 @@ def main():
     # steady-state slides (amortized rebuilds included via >= 2 rebuilds in
     # the timed region) with no first-use compiles
     warmup = rebuild_every + 2
-    stream_len = w + (reps * steps + warmup + 1) * b
+    stream_len = w + (steps + warmup + 1) * b
     src, dst, n = _stream(graph, n, stream_len, seed=7)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     scfg = StreamConfig(window=w, slide=b)
@@ -119,11 +120,30 @@ def main():
         pass
     hard_sync(drv.state.r)
 
+    # every block re-runs the SAME stream segment (state/graph/counters are
+    # snapshotted and restored between blocks), so per-block device work is
+    # bit-identical and max-over-blocks isolates transport noise without
+    # conflating workload variance across segments
+    def snapshot():
+        return (
+            jax.tree_util.tree_map(jnp.array, (drv.state, drv.graph)),
+            drv.fcnt, drv.head, drv.step_idx,
+            drv.hsrc.copy(), drv.hdst.copy(),
+        )
+
+    def restore(snap):
+        st_kg, drv.fcnt, drv.head, drv.step_idx, hs, hd = snap
+        # fresh copies: the slide step donates its inputs
+        drv.state, drv.graph = jax.tree_util.tree_map(jnp.array, st_kg)
+        drv.hsrc, drv.hdst = hs.copy(), hd.copy()
+
+    multi = reps > 1 and engine == "fast" and drv.steps_available >= steps
+    snap0 = snapshot() if multi else None
     blocks = []
     best = None
-    for _ in range(reps):
-        if drv.steps_available < steps:
-            break
+    for rep in range(reps if multi else 1):
+        if multi and rep > 0:
+            restore(snap0)
         t0 = time.perf_counter()
         stats = list(drv.run(steps))
         hard_sync(drv.state.r)

@@ -255,14 +255,10 @@ def config5_sharded(
     src, dst, n = _stream(graph, n, w + (steps + 4) * b, seed=5)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     chips = n_rows * n_srcs
-    # per-round delivery quota: K*ccap rows; at small K the default 2048
-    # starves mid-size frontiers into dense-flush rounds (PERFORMANCE.md
-    # round 3 mesh-1x1 table), so scale it with the slide unless overridden
-    ccap = ccap or max(2048, min(65_536, 4 * b // max(n_rows, 1)))
+    # ccap/e_top tuning lives in ShardedWlEngine's defaults (round-3 sweep)
     drv = ShardedStreamDriver(
         src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),
-        mesh, engine=engine, ccap=ccap,
-        e_top=e_top or min(max(8 * b // max(n_rows, 1), 65_536), 262_144),
+        mesh, engine=engine, ccap=ccap or None, e_top=e_top or None,
         fring=fring or None, bf16d=bf16d,
     )
     drv.seed()

@@ -69,7 +69,7 @@ class ShardedStreamDriver:
         ecap: int | None = None,
         dtype=jnp.float32,
         engine: str = "dense",
-        ccap: int = 2048,
+        ccap: int | None = None,
         fring: int | None = None,
         e_top: int | None = None,
         bf16d: bool = False,
@@ -111,6 +111,7 @@ class ShardedStreamDriver:
                 cfg=cfg,
                 mode=mode,
                 dtype=dtype,
+                ccap=2048 if ccap is None else ccap,
             )
         eng = self.eng
         self.p, self.r = eng.init_state(queries)

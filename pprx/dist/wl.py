@@ -100,6 +100,15 @@ def make_wl_tiers(
 # many emission lanes (the winner-dedup cbuf scatter is unsorted, ~70ns/row)
 SORT_BUCKET_MIN = 65_536
 
+# the per-shard snapshot dict's keys — also the checkpoint field list
+# (pprx/io/checkpoint.py imports this; keep it the single source of truth)
+WL_SNAP_KEYS = (
+    "soff", "snbr", "srl", "spos",
+    "d_gat", "d_sca", "d_pos", "d_toff",
+    "fd_gat", "fd_sca", "fd_toff",
+    "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
+)
+
 
 def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     """Dedup-by-sort + owner-bucket of (global id, mass) pairs — the
@@ -117,10 +126,17 @@ def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     pend). Entries past each owner's ccap quota land in the carry (the
     caller drains it with dedicated rounds). CONTRACT: the number of unique
     ids beyond quota must fit ccarry — entries are deduped, so
-    ccarry >= min(L, n_pad) guarantees it.
+    ccarry >= min(L, n_pad) guarantees it — and since every quantity is
+    static, the contract is ENFORCED at trace time below (a violated
+    contract would otherwise clamp distinct ids into one carry slot and
+    silently drop mass).
     """
     L = ids.shape[0]
     s = vals.shape[1]
+    assert ccarry >= min(L, n_pad), (
+        f"sorted_bucket carry contract violated: ccarry={ccarry} < "
+        f"min(L={L}, n_pad={n_pad})"
+    )
     iota = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
     ids_s, order = jax.lax.sort((ids, iota), num_keys=1, is_stable=True)
     vals_s = vals[order]
@@ -176,7 +192,7 @@ class ShardedWlEngine(ShardedEngine):
         cfg: PprConfig,
         mode: int = FORWARD,
         dtype=jnp.float32,
-        ccap: int = 2048,
+        ccap: int | None = None,
         fring: int | None = None,
         e_top: int | None = None,
         n_tiers: int = 4,
@@ -192,6 +208,11 @@ class ShardedWlEngine(ShardedEngine):
         the same bucketed exchange. Per-device live memory is
         O(n_local*S + frontier_edges*S). (Reverse-mode slide corrections
         still use the parent's stacked rowsum reduce-scatter.)"""
+        # round-3 sweep default (PERFORMANCE.md / BASELINE.md sharded
+        # tables): the old fixed ccap=2048 starved mid-size frontiers into
+        # dense-flush rounds at small K
+        if ccap is None:
+            ccap = max(2048, min(65_536, 4 * bcap // mesh.shape["rows"]))
         # the dense machinery (corrections, fallback rounds, init_state,
         # device_graph) comes from the parent; exchange='dense_rs' there is
         # only the parent's own push path, which slide_wl never calls
@@ -218,7 +239,11 @@ class ShardedWlEngine(ShardedEngine):
         self.fring = max(bcap, fring if fring is not None else 8 * bcap)
         # snapshot arrays have ecap usable positions + 1 trash position
         self.sstride = self.slot_stride  # ecap + 1
-        et = e_top if e_top is not None else min(max(8 * bcap, 16_384), ecap)
+        # uncapped e_top ran big rounds on the expensive worklist path
+        # instead of the sorted dense scan (round-3 sweep)
+        et = e_top if e_top is not None else min(
+            max(8 * bcap // self.n_rows, 65_536), 262_144, ecap
+        )
         self.e_top = et
         self.n_tiers = n_tiers
         self.proportional = proportional
@@ -294,12 +319,7 @@ class ShardedWlEngine(ShardedEngine):
         RS = fring + 1  # fresh ring + trash slot (padding writes land there)
         spad = pad_len(sstride)
         fpad = pad_len(RS)
-        _snap_spec_names = (
-            "soff", "snbr", "srl", "spos",
-            "d_gat", "d_sca", "d_pos", "d_toff",
-            "fd_gat", "fd_sca", "fd_toff",
-            "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
-        )
+        _snap_spec_names = WL_SNAP_KEYS
 
         @jax.jit
         @functools.partial(

@@ -128,10 +128,31 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
                 "offsets", "nbr", "row_len", "snap_pos",
                 "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len",
                 "d_gat", "d_sca", "d_pos", "d_toff",
-                "fd_gat", "fd_sca", "fd_toff",
             )
         }
-        drv.graph = KillGraph(window=window, **kg_fields)
+        if "kg_fd_gat" in z:
+            for f in ("fd_gat", "fd_sca", "fd_toff"):
+                kg_fields[f] = jnp.asarray(z[f"kg_{f}"])
+            drv.graph = KillGraph(window=window, **kg_fields)
+        else:
+            # checkpoint written before the delivery-sorted fresh view
+            # existed: the fd arrays are derived state — reconstruct them
+            # from the persisted ring via refresh_fresh_csr
+            from pprx.engine.segsum import SEGSUM_TR, pad_len
+
+            n_ck = meta["n"]
+            f_pad = pad_len(drv.fring)
+            ntiles = (n_ck + 1 + SEGSUM_TR - 1) // SEGSUM_TR
+            kg_fields.update(
+                fd_gat=jnp.full(f_pad, n_ck, jnp.int32),
+                fd_sca=jnp.full(f_pad, n_ck, jnp.int32),
+                fd_toff=jnp.zeros(ntiles + 1, jnp.int32),
+            )
+            from pprx.engine.wl2 import refresh_fresh_csr
+
+            drv.graph = refresh_fresh_csr(
+                KillGraph(window=window, **kg_fields)
+            )
         drv.hsrc = np.asarray(z["src"], dtype=np.int32)
         drv.hdst = np.asarray(z["dst"], dtype=np.int32)
     elif meta.get("engine") == "hybrid":
@@ -167,12 +188,10 @@ def load_checkpoint(path: str, stream_src: np.ndarray, stream_dst: np.ndarray) -
     return drv
 
 
-_WL_SNAP_KEYS = (
-    "soff", "snbr", "srl", "spos",
-    "d_gat", "d_sca", "d_pos", "d_toff",
-    "fd_gat", "fd_sca", "fd_toff",
-    "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
-)
+def _wl_snap_keys():
+    from pprx.dist.wl import WL_SNAP_KEYS
+
+    return WL_SNAP_KEYS
 
 
 def save_sharded_checkpoint(path: str, drv) -> None:
@@ -216,7 +235,7 @@ def save_sharded_checkpoint(path: str, drv) -> None:
         }
         extra = {
             f"snap_{k}": np.asarray(jax.device_get(drv.snap[k]))
-            for k in _WL_SNAP_KEYS
+            for k in _wl_snap_keys()
         }
         extra["fcnt_host"] = np.asarray(drv._fcnt_host, np.int64)
     free_lens = np.asarray(drv._free_top, np.int64)
@@ -338,7 +357,7 @@ def load_sharded_checkpoint(
     if wl:
         drv.snap = {
             k: jax.device_put(jnp.asarray(z[f"snap_{k}"]), row_sh)
-            for k in _WL_SNAP_KEYS
+            for k in _wl_snap_keys()
         }
         drv._fcnt_host = np.asarray(z["fcnt_host"], np.int64)
         drv._since_rb = meta["wl_tuning"]["since_rb"]

@@ -57,19 +57,14 @@ for f in files:
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
     for ev in data.get("traceEvents", []):
-        pidname = ev.get("pid")
+        # NOTE: aggregates every complete event from every pid (host +
+        # device); read the [pid] column to tell them apart
         if ev.get("ph") != "X":
             continue
         name = ev.get("name", "")
-        args = ev.get("args") or {}
-        # device ops carry run ids / correlation; host python events excluded
-        cat = args.get("device_type", "")
-        tid = ev.get("tid", 0)
         dur = ev.get("dur", 0) / 1e3  # ms
-        if "tc_compute" in str(args) or True:
-            pass
-        agg[(pidname, name)] += dur
-        cnt[(pidname, name)] += 1
+        agg[(ev.get("pid"), name)] += dur
+        cnt[(ev.get("pid"), name)] += 1
 
 # identify device pids by looking for XLA op-like names
 rows = sorted(agg.items(), key=lambda kv: -kv[1])

@@ -191,3 +191,35 @@ def test_checkpoint_resume_sharded_wl(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(a._fcnt_host), np.asarray(b._fcnt_host)
     )
+
+
+def test_checkpoint_fast_backcompat_no_fd(tmp_path):
+    """Fast-driver checkpoints written before the delivery-sorted fresh
+    view existed (no kg_fd_* arrays) must still load — the fd view is
+    derived state, reconstructed from the persisted ring."""
+    from pprx.graph.fast_stream import FastStreamDriver
+
+    n, total = 30, 500
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=8)
+    scfg = StreamConfig(window=200, slide=20)
+    a = FastStreamDriver(
+        src, dst, n, [0, 5], CFG, scfg, dtype=jnp.float64, rebuild_every=3
+    )
+    a.seed()
+    for _ in a.run(4):
+        pass
+    ckpt = str(tmp_path / "ckold.npz")
+    save_checkpoint(ckpt, a)
+    # strip the fd arrays to simulate the old format
+    z = dict(np.load(ckpt))
+    for k in ("kg_fd_gat", "kg_fd_sca", "kg_fd_toff"):
+        del z[k]
+    np.savez_compressed(ckpt, **z)
+    for _ in a.run(4):
+        pass
+
+    b = load_checkpoint(ckpt, src, dst)
+    for _ in b.run(4):
+        pass
+    np.testing.assert_array_equal(np.asarray(a.state.p), np.asarray(b.state.p))
+    np.testing.assert_array_equal(np.asarray(a.state.r), np.asarray(b.state.r))
