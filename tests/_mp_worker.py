@@ -53,15 +53,38 @@ def main():
     st, stats = push_to_convergence(st, graph, cfg)
     ref_p = np.asarray(st.p)
 
-    shard = p.addressable_shards[0]
-    lo = shard.index[0].start or 0
-    local = np.asarray(shard.data)
-    ref_rows = ref_p[lo : lo + local.shape[0]]
-    if ref_rows.shape[0] < local.shape[0]:  # padded tail rows are zero
-        pad = np.zeros((local.shape[0] - ref_rows.shape[0], local.shape[1]))
-        ref_rows = np.concatenate([ref_rows, pad])
-    np.testing.assert_allclose(local, ref_rows, atol=1e-12)
+    def check_local(arr, tag):
+        shard = arr.addressable_shards[0]
+        lo = shard.index[0].start or 0
+        local = np.asarray(shard.data)
+        ref_rows = ref_p[lo : lo + local.shape[0]]
+        if ref_rows.shape[0] < local.shape[0]:  # padded tail rows are zero
+            pad = np.zeros((local.shape[0] - ref_rows.shape[0], local.shape[1]))
+            ref_rows = np.concatenate([ref_rows, pad])
+        np.testing.assert_allclose(local, ref_rows, atol=1e-12, err_msg=tag)
+
+    check_local(p, "dense")
     assert int(rounds) == int(stats.rounds)
+
+    # the flagship wl engine (and its memory-proportional variant): the
+    # bucketed all_to_all / drain rounds must also work across the real
+    # process boundary, not just the in-process virtual mesh
+    from pprx.dist.wl import ShardedWlEngine
+
+    for prop in (False, True):
+        # ccap >= n_local: no overflow deferral, so the result is exact
+        # (deferred deliveries legitimately reshuffle sub-threshold
+        # residuals — covered by the in-process overflow tests)
+        wl = ShardedWlEngine(
+            mesh, n, len(queries), ecap=m, bcap=8, cfg=cfg, mode=FORWARD,
+            dtype=jnp.float64, ccap=64, proportional=prop,
+        )
+        pw, rw = wl.init_state(queries)
+        degw, _, _, _, _, snap = wl.device_graph_wl(src, dst)
+        pw, rw, rounds_w, *_ = wl.push_wl(pw, rw, degw, snap)
+        assert int(rounds_w) < cfg.max_rounds
+        check_local(pw, f"wl prop={prop}")
+
     print(f"mp-worker {pid}: ok rounds={int(rounds)}", flush=True)
 
 
