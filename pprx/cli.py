@@ -230,16 +230,51 @@ def cmd_retrieve(args):
     from pprx.retrieve.topk import topk_candidates
 
     src, dst, n = _load(args)
-    rng = np.random.default_rng(0)
-    if args.queries == "random":
-        queries = rng.integers(0, n, size=args.batch).tolist()
+    refine_info = {}
+    if args.from_checkpoint:
+        # serve from a MAINTAINED stream state (the engine's production
+        # pattern): the checkpoint holds the converged reserve; optionally
+        # refine it to a tighter eps before reading top-k (the retrieval
+        # precision policy — BASELINE.md round 3)
+        from pprx.io.checkpoint import load_checkpoint
+
+        drv = load_checkpoint(args.from_checkpoint, src, dst)
+        if args.refine_eps:
+            if not hasattr(drv, "refine"):
+                raise SystemExit(
+                    "--refine-eps needs a fast-engine checkpoint "
+                    f"(got {type(drv).__name__})"
+                )
+            t0 = time.perf_counter()
+            rstats = drv.refine(args.refine_eps)
+            from pprx.eval.sync import hard_sync as _hs
+
+            _hs(drv.state.r)
+            refine_info = {
+                "refine_eps": args.refine_eps,
+                "refine_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                "refine_rounds": int(rstats.rounds),
+            }
+        state = drv.state
+        queries = getattr(drv, "_queries", None)
+
+        class _S:  # stats stand-in: the push work happened in the stream
+            rounds = 0
+
+        stats = _S()
+        if queries is None:
+            queries = list(range(state.p.shape[1]))
     else:
-        queries = [int(q) for q in args.queries.split(",")]
-    graph = WindowGraph.from_coo(src, dst, n)
-    state = init_state(n, queries, mode=0, dtype=_dtype(args))
-    state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
-        state, graph, cfg=_cfg(args)
-    )
+        rng = np.random.default_rng(0)
+        if args.queries == "random":
+            queries = rng.integers(0, n, size=args.batch).tolist()
+        else:
+            queries = [int(q) for q in args.queries.split(",")]
+        graph = WindowGraph.from_coo(src, dst, n)
+        state = init_state(n, queries, mode=0, dtype=_dtype(args))
+        state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
+            state, graph, cfg=_cfg(args)
+        )
     from pprx.eval.sync import hard_sync
 
     # warm up (compile) before timing the serving latency
@@ -257,6 +292,7 @@ def cmd_retrieve(args):
                 "k": args.k,
                 "push_rounds": int(stats.rounds),
                 "retrieval_ms": round(retr_ms, 3),
+                **refine_info,
                 "top1": [int(i) for i in np.asarray(ids[:, 0])[: min(8, len(queries))]],
             }
         )
@@ -333,6 +369,19 @@ def main(argv=None):
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("retrieve", help="multi-source top-k candidates")
+    p.add_argument(
+        "--from-checkpoint",
+        default=None,
+        help="serve from a stream checkpoint's maintained state instead of "
+        "pushing from scratch (the graph arg supplies the stream file)",
+    )
+    p.add_argument(
+        "--refine-eps",
+        type=float,
+        default=0.0,
+        help="refine the maintained state to this tighter eps before "
+        "reading top-k (retrieval precision policy; fast engine only)",
+    )
     p.add_argument("graph")
     _add_common(p)
     p.add_argument("--k", type=int, default=100)

@@ -113,3 +113,21 @@ def test_bench_config5_small_shapes():
     out = run_config(5, n=2_000, w=20_000, b=200, s=2, steps=2, engine="wlp")
     assert out["config"] == 5 and out["engine"] == "wlp"
     assert out["updates_per_sec"] > 0
+
+
+def test_retrieve_from_checkpoint(graph_npz, tmp_path, capsys):
+    """The serving loop end to end: stream maintains + checkpoints, then
+    retrieve serves from the maintained state with optional refinement."""
+    ck = str(tmp_path / "serve.npz")
+    run_cli(capsys, [
+        "stream", graph_npz, "--window", "300", "--slide", "30",
+        "--steps", "3", "--queries", "0,5,9", "--checkpoint", ck,
+        "--checkpoint-every", "3",
+    ])
+    out = run_cli(capsys, [
+        "retrieve", graph_npz, "--from-checkpoint", ck, "--k", "5",
+        "--refine-eps", "1e-7", "--approx",
+    ])
+    assert out["k"] == 5 and out["batch"] == 3
+    assert out["refine_eps"] == 1e-7 and out["refine_rounds"] > 0
+    assert len(out["top1"]) == 3
