@@ -20,9 +20,12 @@ import jax.numpy as jnp
 from pprx.engine.state import PprState
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exact", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "exact", "chunk", "recall_target")
+)
 def topk_candidates(
-    p: jnp.ndarray, k: int, exact: bool = True, chunk: int = 4096
+    p: jnp.ndarray, k: int, exact: bool = True, chunk: int = 4096,
+    recall_target: float = 0.97,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query top-k vertices by reserve score.
 
@@ -36,13 +39,21 @@ def topk_candidates(
     this toolchain (round-3 re-measure: its compile alone exceeded 19 min
     at N=500k/S=512). Round-3 measured latency at config-4 shapes: 111 ms
     at chunk=2048 (best of the 2k..32k sweep; smaller chunks win — the
-    stage-1 sort length dominates). The <10 ms serving head is the approx
-    path (8.9 ms; recall/latency trade in PERFORMANCE.md round 3) — exact
-    is the eval/offline head.
+    stage-1 sort length dominates).
+
+    The <10 ms serving head is the approx path; ``recall_target`` sizes
+    ``lax.approx_max_k``'s binned reduction. Round-4 sweep at config-4
+    shapes (N=500k/S=512/k=100, scripts/config4_recall_sweep.py): rt=0.97
+    serves at 9.3 ms with tie-aware recall@100 = 0.990 vs the exact head
+    (rt=0.95: 9.0 ms / 0.981; rt=0.98: 10.1 ms / 0.996). Plain
+    set-intersection recall saturates at ~0.91 for ANY effort because a
+    mean of ~17k vertices tie at the k-th score on power-law tails —
+    tie-equivalent answers are interchangeable (pprx.eval.metrics
+    ``recall_at_k_ties`` is the rigorous form; exact is the eval head).
     """
     scores_t = p[:-1].T  # [S, N]
     if not exact:
-        return jax.lax.approx_max_k(scores_t, k)
+        return jax.lax.approx_max_k(scores_t, k, recall_target=recall_target)
     return exact_topk_rows(scores_t, k, chunk)
 
 

@@ -43,6 +43,36 @@ def test_precision_at_k_tie_handling():
     assert precision_at_k(np.array([0, 3]), exact, 2) == 0.5
 
 
+def test_recall_at_k_ties_rigorous():
+    from pprx.eval.metrics import recall_at_k_ties
+
+    exact = np.array([0.5, 0.3, 0.3, 0.3, 0.1])
+    # k=2 boundary at 0.3: one strictly-above (id 0) + one boundary slot.
+    # Any tie-equivalent pick for the slot scores 1.0 ...
+    assert recall_at_k_ties(np.array([0, 3]), exact, 2) == 1.0
+    assert recall_at_k_ties(np.array([0, 1]), exact, 2) == 1.0
+    # ... but backfilling ties can NOT mask a missed strictly-above vertex
+    # (this is where the plain >=kth convention overcounts)
+    assert recall_at_k_ties(np.array([2, 3]), exact, 2) == 0.5
+    assert precision_at_k(np.array([2, 3]), exact, 2) == 1.0
+    # tie-free boundary: equals plain set recall
+    assert recall_at_k_ties(np.array([0, 4]), exact, 2) == 0.5
+
+
+def test_topk_recall_target_plumbing():
+    """recall_target reaches approx_max_k (shape/validity smoke; the op is
+    exact at these tiny shapes on the CPU backend)."""
+    from pprx.retrieve.topk import topk_candidates
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.random((600, 4)).astype(np.float32))
+    for rt in (0.9, 0.97):
+        sc, ids = topk_candidates(p, k=10, exact=False, recall_target=rt)
+        assert sc.shape == (4, 10) and ids.shape == (4, 10)
+        got = np.take_along_axis(np.asarray(p[:-1].T), np.asarray(ids), axis=1)
+        np.testing.assert_array_equal(got, np.asarray(sc))
+
+
 def test_two_stage_exact_topk_matches_single_sort():
     """The chunked exact path (pads N to a chunk multiple, per-chunk top-k,
     merge) must equal lax.top_k of the full rows — including duplicate
