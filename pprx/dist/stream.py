@@ -277,6 +277,16 @@ class ShardedStreamDriver:
                     self._fcnt_host[:] = 0
                     self._since_rb = 0
             self.last_host_ms = (time.perf_counter() - t_host) * 1e3
+            if getattr(self, "debug_batches", False):
+                # timing scripts (scripts/sharded_phases.py) replay these
+                # standalone to decompose the fused slide program
+                self._batches = {
+                    "del_u": del_u, "del_w": del_w, "del_v": del_v,
+                    "ins_u": ins_u, "ins_w": ins_w, "ins_v": ins_v,
+                    "clear_slots": clear_slots, "write_slots": write_slots,
+                }
+                if self._wl:
+                    self._batches["cand_rows"] = cand_rows
 
             A = self._rows_array
             if self._wl:

@@ -101,11 +101,17 @@ def make_wl_tiers(
 SORT_BUCKET_MIN = 65_536
 
 # the per-shard snapshot dict's keys — also the checkpoint field list
-# (pprx/io/checkpoint.py imports this; keep it the single source of truth)
+# (pprx/io/checkpoint.py imports this; keep it the single source of truth).
+# Round 4: the delivery views hold LOCAL-destination edges first (sorted by
+# dst), then remote-destination edges (sorted by dst); d_toffl/fd_toffl are
+# the per-LOCAL-row-tile edge ranges of the local segment, d_toff/fd_toff
+# the per-GLOBAL-row-tile ranges of the remote segment (empty for local
+# rows). Local deliveries run straight into r — no reduce-scatter — and the
+# remote acc/psum_scatter path is statically absent at K=1.
 WL_SNAP_KEYS = (
     "soff", "snbr", "srl", "spos",
-    "d_gat", "d_sca", "d_pos", "d_toff",
-    "fd_gat", "fd_sca", "fd_toff",
+    "d_gat", "d_sca", "d_pos", "d_toff", "d_toffl",
+    "fd_gat", "fd_sca", "fd_toff", "fd_toffl",
     "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
 )
 
@@ -119,17 +125,21 @@ def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     ids: [L] global target ids, invalid = n_pad. vals: [L, S].
     One stable sort groups duplicates; a segment-scatter sums each group's
     mass; owners are contiguous in the sorted order, so per-owner ranks come
-    from K+1 scalar binary searches instead of K full-length cumsums.
+    from K+1 scalar binary searches instead of K full-length cumsums. The
+    [K, ccap] send layout is then a pure GATHER from the sorted unique
+    arrays (slot (k, j) reads sorted position starts[k] + j) — the round-3
+    form scattered all L lanes into the send buffers, an unsorted ~70 ns/row
+    scatter that dominated big compact rounds (round-4 phase timing).
 
     Returns (send_ids [K*ccap] LOCAL ids pad n_local, send_mass [K*ccap, S],
     carry_ids [ccarry] sorted global ids pad n_pad, carry_mass [ccarry, S],
     pend). Entries past each owner's ccap quota land in the carry (the
-    caller drains it with dedicated rounds). CONTRACT: the number of unique
-    ids beyond quota must fit ccarry — entries are deduped, so
-    ccarry >= min(L, n_pad) guarantees it — and since every quantity is
-    static, the contract is ENFORCED at trace time below (a violated
-    contract would otherwise clamp distinct ids into one carry slot and
-    silently drop mass).
+    caller drains it with dedicated rounds); the carry gather only runs when
+    overflow exists (lax.cond). CONTRACT: the number of unique ids beyond
+    quota must fit ccarry — entries are deduped, so ccarry >= min(L, n_pad)
+    guarantees it — and since every quantity is static, the contract is
+    ENFORCED at trace time below (a violated contract would otherwise drop
+    mass).
     """
     L = ids.shape[0]
     s = vals.shape[1]
@@ -151,29 +161,50 @@ def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     gmass = jnp.zeros((L, s), dtype).at[sidx].add(
         vals_s, indices_are_sorted=True
     )
-    owner = jnp.minimum(gids // n_local, K)
     starts = jnp.searchsorted(
         gids, (jnp.arange(K + 1, dtype=jnp.int32) * n_local)
     ).astype(jnp.int32)
-    rank = jax.lax.broadcasted_iota(jnp.int32, (L,), 0) - starts[owner]
-    sendable = jnp.logical_and(owner < K, rank < ccap)
-    flat = jnp.where(sendable, owner * ccap + rank, K * ccap)
-    send_ids = jnp.full(K * ccap + 1, n_local, jnp.int32).at[flat].set(
-        jnp.where(sendable, gids - owner * n_local, n_local)
-    )[: K * ccap]
-    send_mass = jnp.zeros((K * ccap + 1, s), dtype).at[flat].set(
-        gmass * sendable[:, None].astype(dtype)
-    )[: K * ccap]
-    left = jnp.logical_and(owner < K, rank >= ccap)
-    lpos = jnp.cumsum(left.astype(jnp.int32)) - 1
-    cflat = jnp.where(left, jnp.minimum(lpos, ccarry - 1), ccarry)
-    carry_ids = jnp.full(ccarry + 1, n_pad, jnp.int32).at[cflat].set(
-        jnp.where(left, gids, n_pad)
-    )[:ccarry]
-    carry_mass = jnp.zeros((ccarry + 1, s), dtype).at[cflat].set(
-        gmass * left[:, None].astype(dtype)
-    )[:ccarry]
-    pend = jnp.sum(left, dtype=jnp.int32)
+    counts = starts[1:] - starts[:-1]  # unique ids per owner
+    # send buffers by gather: slot (k, j) <- sorted position starts[k] + j
+    j_ix = jax.lax.broadcasted_iota(jnp.int32, (K, ccap), 1)
+    valid = j_ix < jnp.minimum(counts, ccap)[:, None]
+    g_idx = jnp.where(valid, starts[:K, None] + j_ix, 0).reshape(-1)
+    valid = valid.reshape(-1)
+    k_of = jax.lax.broadcasted_iota(jnp.int32, (K, ccap), 0).reshape(-1)
+    send_ids = jnp.where(
+        valid, gids[g_idx] - k_of * n_local, n_local
+    ).astype(jnp.int32)
+    send_mass = gmass[g_idx] * valid[:, None].astype(dtype)
+    # overflow -> compact carry, also by gather; skipped when empty
+    oc = jnp.maximum(counts - ccap, 0)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(oc, dtype=jnp.int32)]
+    )
+    pend = base[K]
+
+    def carry_gather(_):
+        ci = jax.lax.broadcasted_iota(jnp.int32, (ccarry,), 0)
+        # owner of carry slot i: the last k with base[k] <= i
+        o = (
+            jnp.searchsorted(base, ci, side="right").astype(jnp.int32) - 1
+        )
+        oc_ = jnp.clip(o, 0, K - 1)
+        c_idx = starts[oc_] + ccap + (ci - base[oc_])
+        ok = ci < pend
+        c_idx = jnp.where(ok, c_idx, 0)
+        carry_ids = jnp.where(ok, gids[c_idx], n_pad).astype(jnp.int32)
+        carry_mass = gmass[c_idx] * ok[:, None].astype(dtype)
+        return carry_ids, carry_mass
+
+    def carry_empty(_):
+        return (
+            jnp.full(ccarry, n_pad, jnp.int32),
+            jnp.zeros((ccarry, s), dtype),
+        )
+
+    carry_ids, carry_mass = jax.lax.cond(
+        pend > 0, carry_gather, carry_empty, 0
+    )
     return send_ids, send_mass, carry_ids, carry_mass, pend
 
 
@@ -208,17 +239,16 @@ class ShardedWlEngine(ShardedEngine):
         the same bucketed exchange. Per-device live memory is
         O(n_local*S + frontier_edges*S). (Reverse-mode slide corrections
         still use the parent's stacked rowsum reduce-scatter.)"""
-        # round-3 sweep default (PERFORMANCE.md / BASELINE.md sharded
-        # tables): the old fixed ccap=2048 starved mid-size frontiers into
-        # dense-flush rounds at small K
-        if ccap is None:
-            ccap = max(2048, min(65_536, 4 * bcap // mesh.shape["rows"]))
+        # per-destination a2a quotas are PER-TIER since round 4 (see below);
+        # an explicit ccap caps every tier's quota (tests use tiny values to
+        # force the carry/overflow paths)
+        user_ccap = ccap
         # the dense machinery (corrections, fallback rounds, init_state,
         # device_graph) comes from the parent; exchange='dense_rs' there is
         # only the parent's own push path, which slide_wl never calls
         super().__init__(
             mesh, n, s_total, ecap, bcap, cfg, mode=mode, dtype=dtype,
-            exchange="dense_rs", ccap=ccap,
+            exchange="dense_rs", ccap=2048 if ccap is None else ccap,
         )
         if segsum is None:
             # the Pallas MXU segment-sum kernel wins on real TPU hardware at
@@ -235,21 +265,32 @@ class ShardedWlEngine(ShardedEngine):
         # a pod); residual removal, thresholds, rowsum sweeps and the
         # carry stay exact f32.
         self.bf16d = bool(bf16d)
-        self.wl_ccap = min(ccap, self.n_local)
-        self.fring = max(bcap, fring if fring is not None else 8 * bcap)
+        # fring=4b: the per-slide fresh-ring sorts (mutate_graph) and the
+        # dense rounds' fresh-view gathers scale with fring; 4b measured
+        # better than 8b once rebuilds amortize over 4 slides (round 4)
+        self.fring = max(bcap, fring if fring is not None else 4 * bcap)
         # snapshot arrays have ecap usable positions + 1 trash position
         self.sstride = self.slot_stride  # ecap + 1
-        # uncapped e_top ran big rounds on the expensive worklist path
-        # instead of the sorted dense scan (round-3 sweep)
-        et = e_top if e_top is not None else min(
-            max(8 * bcap // self.n_rows, 65_536), 262_144, ecap
-        )
+        # e_top=64k: a tier-3-sized compact round (e=262144) costs 45 ms at
+        # headline shapes — the exchange machinery re-sorts and re-gathers
+        # [L, S] mass arrays several times — while the local-direct dense
+        # flush costs 18 ms for the WHOLE window (round-4 tier bisect).
+        # Frontiers beyond ~64k edges are cheaper on the dense scan, same
+        # conclusion the single-chip engine reached in round 3 (its
+        # delivery has no exchange buffers, so its crossover sits higher).
+        et = e_top if e_top is not None else min(65_536, ecap)
         self.e_top = et
         self.n_tiers = n_tiers
         self.proportional = proportional
+        # checkpoint round-trips the USER's quota cap, not the derived
+        # per-tier quotas (None = auto; pprx/io/checkpoint.py)
+        self.user_ccap = user_ccap
+        # row capacity mirrors the single-chip ladder (w_top ~ e_top/2): the
+        # round-3 form tied w_top to K*ccap=65536, which starved frontiers
+        # in (65k, 131k] rows into 24 ms dense-flush rounds at mesh 1x1
         self.tiers = make_wl_tiers(
             self.n_local, ecap, self.fring, et,
-            w_top=self.n_rows * self.wl_ccap, n_tiers=n_tiers,
+            w_top=max(et // 2, 512), n_tiers=n_tiers,
         )
         if proportional:
             # all-covering top tier: any frontier fits (srl sums <= ecap,
@@ -267,14 +308,26 @@ class ShardedWlEngine(ShardedEngine):
             self.ccarry = min(
                 max(e + g for (_, e, g) in self.tiers), self.n_pad
             )
-            self.wcarry = max(self.n_local + 1, 4 * bcap)
-        else:
-            # the candidate carry must hold any a2a delivery (K*ccap) and
-            # any host-seeded batch; dense rescans that outgrow it flag
-            # ok=False
-            self.wcarry = max(
-                self.tiers[-1][0], self.n_rows * self.wl_ccap, 4 * bcap
-            )
+        # PER-TIER a2a quotas (round 4): tier i's exchange ships
+        # ceil((e_i + g_i)/K) rows per destination — the deduped emission of
+        # the tier always fits under balanced ownership, so compact rounds
+        # stop overflowing into the carry (each overflow forced a 24 ms
+        # dense-flush round at headline shapes; round-4 phase timing showed
+        # 11 of 16 rounds/slide were dense). Skew beyond the quota still
+        # lands in the carry — the overflow semantics are unchanged.
+        quotas = []
+        for (w_i, e_i, g_i) in self.tiers:
+            q = max(1024, -(-(e_i + g_i) // self.n_rows))
+            if user_ccap is not None:
+                q = min(q, user_ccap)
+            quotas.append(min(q, self.n_local))
+        self.ccaps = tuple(quotas)
+        self.wl_ccap = self.ccaps[-1]
+        # the candidate carry holds UNIQUE local row ids, so n_local + 1
+        # bounds every source of candidates (a2a deliveries, host-seeded
+        # batches, dense rescans); the round-3 max(..., 4*bcap) = 640k form
+        # paid 3x in every rescan's nonzero
+        self.wcarry = self.n_local + 1
         self._build_wl_programs()
 
     # ------------------------------------------------------------------
@@ -308,7 +361,8 @@ class ShardedWlEngine(ShardedEngine):
         n_pad = self.n_pad
         sstride = self.sstride
         fring = self.fring
-        ccap = self.wl_ccap
+        ccap = self.wl_ccap  # top-tier quota (corrections / carry drains)
+        ccaps = self.ccaps  # per-tier a2a quotas
         tiers = self.tiers
         wcarry = self.wcarry
         alpha_f = cfg.alpha
@@ -320,6 +374,52 @@ class ShardedWlEngine(ShardedEngine):
         spad = pad_len(sstride)
         fpad = pad_len(RS)
         _snap_spec_names = WL_SNAP_KEYS
+
+        def _delivery_views(dst, gat, live, length, base):
+            """Sort one edge set into the round-4 delivery layout: LOCAL
+            destinations first (by dst), then remote (by dst), dead last.
+            Local deliveries get per-LOCAL-row-tile ranges (toffl); remote
+            ones per-GLOBAL-row-tile ranges offset past the local segment
+            (empty ranges for local rows). Returns (sca, gatv, pos, toffl,
+            toff) with sca/gatv padded to a multiple of EC_PAD."""
+            iota_e = jax.lax.broadcasted_iota(jnp.int32, (length,), 0)
+            is_loc = jnp.logical_and(dst >= base, dst < base + n_local)
+            key = jnp.where(
+                live,
+                jnp.where(is_loc, dst - base, dst + n_pad),
+                2 * n_pad,
+            )
+            _, order, gat_s, sca_s = jax.lax.sort(
+                (key, iota_e, jnp.where(live, gat, n_local).astype(jnp.int32),
+                 dst.astype(jnp.int32)),
+                num_keys=1, is_stable=True,
+            )
+            pos = jnp.argsort(order, stable=True).astype(jnp.int32)
+            padlen = pad_len(length) - length
+            sca = jnp.concatenate([sca_s, jnp.full(padlen, n_pad, jnp.int32)])
+            gatv = jnp.concatenate(
+                [gat_s, jnp.full(padlen, n_local, jnp.int32)]
+            )
+            loc_live = jnp.logical_and(live, is_loc)
+            counts_l = jnp.zeros(n_local, jnp.int32).at[
+                jnp.clip(dst - base, 0, n_local - 1)
+            ].add(loc_live.astype(jnp.int32))
+            offs_l = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_l, dtype=jnp.int32)]
+            )
+            lloc = offs_l[-1]
+            rem_live = jnp.logical_and(live, jnp.logical_not(is_loc))
+            counts_r = jnp.zeros(n_pad, jnp.int32).at[
+                jnp.clip(dst, 0, n_pad - 1)
+            ].add(rem_live.astype(jnp.int32))
+            offs_r = lloc + jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_r, dtype=jnp.int32)]
+            )
+            return (
+                sca, gatv, pos,
+                tile_offsets(offs_l, n_local, SEGSUM_TR),
+                tile_offsets(offs_r, n_pad, SEGSUM_TR),
+            )
 
         @jax.jit
         @functools.partial(
@@ -340,30 +440,17 @@ class ShardedWlEngine(ShardedEngine):
             soff = jnp.concatenate(
                 [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
             )
-            # delivery-sorted view (sorted by GLOBAL scatter endpoint): the
-            # dense round's acc scatter runs sorted / through the segment-sum
-            # kernel. Kills only ever touch d_gat (-> the zero trash row), so
-            # d_sca and the per-row-tile edge ranges stay valid between
-            # rebuilds — same design as the single-chip KillGraph.
-            key_d = jnp.where(eva > 0, eog, n_pad).astype(jnp.int32)
-            d_sca0, order_d, d_gat0 = jax.lax.sort(
-                (key_d, iota_ss,
-                 jnp.where(eva > 0, egl, n_local).astype(jnp.int32)),
-                num_keys=1, is_stable=True,
+            # delivery view, local-first layout (see WL_SNAP_KEYS note).
+            # Kills only ever touch d_gat (-> the zero trash row), so d_sca
+            # and the tile ranges stay valid between rebuilds — same design
+            # as the single-chip KillGraph.
+            base = jax.lax.axis_index("rows").astype(jnp.int32) * n_local
+            dst = jnp.where(eva > 0, eog, n_pad).astype(jnp.int32)
+            d_sca, d_gat, d_pos, d_toffl, d_toff = _delivery_views(
+                dst, egl, eva > 0, sstride, base
             )
-            d_pos = jnp.argsort(order_d, stable=True).astype(jnp.int32)
-            d_sca = jnp.concatenate(
-                [d_sca0, jnp.full(spad - sstride, n_pad, jnp.int32)]
-            )
-            d_gat = jnp.concatenate(
-                [d_gat0, jnp.full(spad - sstride, n_local, jnp.int32)]
-            )
-            counts_d = jnp.zeros(n_pad, jnp.int32).at[
-                jnp.clip(key_d, 0, n_pad - 1)
-            ].add((key_d < n_pad).astype(jnp.int32))
-            offs_d = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_d, dtype=jnp.int32)]
-            )
+            ntl = (n_local + SEGSUM_TR - 1) // SEGSUM_TR + 1
+            ntg = (n_pad + SEGSUM_TR - 1) // SEGSUM_TR + 1
             return {
                 "soff": soff,
                 "snbr": snbr,
@@ -372,12 +459,12 @@ class ShardedWlEngine(ShardedEngine):
                 "d_gat": d_gat,
                 "d_sca": d_sca,
                 "d_pos": d_pos,
-                "d_toff": tile_offsets(offs_d, n_pad, SEGSUM_TR),
+                "d_toff": d_toff,
+                "d_toffl": d_toffl,
                 "fd_gat": jnp.full(fpad, n_local, jnp.int32),
                 "fd_sca": jnp.full(fpad, n_pad, jnp.int32),
-                "fd_toff": jnp.zeros(
-                    (n_pad + SEGSUM_TR - 1) // SEGSUM_TR + 1, jnp.int32
-                ),
+                "fd_toff": jnp.zeros(ntg, jnp.int32),
+                "fd_toffl": jnp.zeros(ntl, jnp.int32),
                 "fr_gat": jnp.full(RS, n_local, jnp.int32),
                 "fr_sca": jnp.full(RS, n_pad, jnp.int32),
                 "f_off": jnp.zeros(n_local + 1, jnp.int32),
@@ -418,6 +505,7 @@ class ShardedWlEngine(ShardedEngine):
 
             def compact_round(i, c):
                 w_i, e_i, g_i = tiers[i]
+                ccap = ccaps[i]
                 (p, r, cand, cn, fed, fre, okf, carry, pend, stats) = c
                 candw = cand[:w_i]
                 cc = jnp.clip(candw, 0, n_local - 1)
@@ -432,8 +520,16 @@ class ShardedWlEngine(ShardedEngine):
                 act = jnp.logical_and(act, live[:, None])
                 mass = jnp.where(act, r_c, jnp.zeros((), dtype))
                 dang_c = (deg_c == 0)[:, None]
-                p = p.at[cc].add(jnp.where(dang_c, mass, alpha * mass))
-                r = r.at[cc].add(-mass)
+                # candidate lists are ASCENDING by construction (sorted
+                # recv dedup below, nonzero rescans, np.unique host seeds),
+                # so the per-round p/r scatters run sorted — the unsorted
+                # form cost ~70 ns/row and dominated big compact rounds
+                # (round-4 phase timing: 18 of a tier-3 round's 46 ms)
+                p = p.at[cc].add(
+                    jnp.where(dang_c, mass, alpha * mass),
+                    indices_are_sorted=True,
+                )
+                r = r.at[cc].add(-mass, indices_are_sorted=True)
                 if mode == FORWARD:
                     inv_c = 1.0 / jnp.maximum(deg_c, 1).astype(dtype)
                     moving = (1.0 - alpha) * mass * inv_c[:, None]
@@ -462,9 +558,9 @@ class ShardedWlEngine(ShardedEngine):
                         ids, vals, K, n_local, n_pad, ccap,
                         min(L, n_pad), dtype,
                     )
-                    carry = carry.at[jnp.clip(cids, 0, n_pad - 1)].add(
-                        cmass * (cids < n_pad).astype(dtype)[:, None]
-                    )
+                    carry = carry.at[
+                        jnp.clip(cids, 0, carry.shape[0] - 1)
+                    ].add(cmass * (cids < n_pad).astype(dtype)[:, None])
                     pend = pend + pend2
                 else:
                     lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
@@ -502,9 +598,9 @@ class ShardedWlEngine(ShardedEngine):
                     # leftovers wait in the carry outbox (flushed by dense
                     # rounds)
                     left = jnp.logical_and(owner < K, rank >= ccap)
-                    carry = carry.at[jnp.clip(uids, 0, n_pad - 1)].add(
-                        cbuf * left[:, None].astype(dtype)
-                    )
+                    carry = carry.at[
+                        jnp.clip(uids, 0, carry.shape[0] - 1)
+                    ].add(cbuf * left[:, None].astype(dtype))
                     pend = pend + jnp.sum(left, dtype=jnp.int32)
                 # THE exchange: one all_to_all of (local id, mass) buckets
                 if use_bf16:
@@ -517,26 +613,40 @@ class ShardedWlEngine(ShardedEngine):
                     send_mass.reshape(K, ccap, s_loc), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
                 ).reshape(-1, s_loc).astype(dtype)
-                rc = jnp.clip(recv_ids, 0, n_local - 1)
-                if mode == FORWARD:
-                    r = r.at[rc].add(recv_mass)
-                else:
-                    r = r.at[rc].add(recv_mass * inv_deg[rc])
-                # next candidates = dedup of delivered local ids
+                # received blocks are sorted per SENDER but not globally —
+                # one (id, lane) sort makes the residual scatter sorted
+                # (~70 ns/row unsorted vs ~4x cheaper sorted at these sizes)
+                # AND gives the next-candidate dedup + the ASCENDING cand2
+                # the next round's sorted p/r scatters rely on
                 M = K * ccap
-                lane2 = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-                scr2 = jnp.zeros(n_local + 1, jnp.int32).at[recv_ids].set(lane2)
-                win2 = jnp.logical_and(scr2[recv_ids] == lane2, recv_ids < n_local)
+                lane_r = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+                rid_s, order_r = jax.lax.sort(
+                    (recv_ids, lane_r), num_keys=1, is_stable=True
+                )
+                rm_s = recv_mass[order_r] * (
+                    rid_s < n_local
+                ).astype(dtype)[:, None]
+                rcs = jnp.clip(rid_s, 0, n_local - 1)
+                if mode == FORWARD:
+                    r = r.at[rcs].add(rm_s, indices_are_sorted=True)
+                else:
+                    r = r.at[rcs].add(
+                        rm_s * inv_deg[rcs], indices_are_sorted=True
+                    )
+                prev_r = jnp.concatenate(
+                    [jnp.full(1, -1, rid_s.dtype), rid_s[:-1]]
+                )
+                win2 = jnp.logical_and(rid_s != prev_r, rid_s < n_local)
                 cn2 = jnp.sum(win2, dtype=jnp.int32)
                 (cp2,) = jnp.nonzero(win2, size=min(M, wcarry), fill_value=0)
                 inr2 = jax.lax.broadcasted_iota(jnp.int32, (min(M, wcarry),), 0) < cn2
-                cand2 = jnp.where(inr2, recv_ids[cp2], n_local)
+                cand2 = jnp.where(inr2, rid_s[cp2], n_local)
                 if cand2.shape[0] < wcarry:
                     cand2 = jnp.concatenate(
                         [cand2, jnp.full(wcarry - cand2.shape[0], n_local, jnp.int32)]
                     )
-                fed2 = jnp.sum(jnp.where(win2, srl[rc], 0), dtype=jnp.int32)
-                fre2 = jnp.sum(jnp.where(win2, f_len[rc], 0), dtype=jnp.int32)
+                fed2 = jnp.sum(jnp.where(win2, srl[rcs], 0), dtype=jnp.int32)
+                fre2 = jnp.sum(jnp.where(win2, f_len[rcs], 0), dtype=jnp.int32)
                 ok2 = (cn2 <= wcarry).astype(jnp.int32)
                 na = jnp.sum(act, dtype=jnp.float32)
                 ew = jnp.sum(
@@ -555,49 +665,114 @@ class ShardedWlEngine(ShardedEngine):
                     moving = (1.0 - alpha) * mass * inv_deg
                 else:
                     moving = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
-                # delivery-sorted expansion: dead/pad edges point d_gat at
-                # the zero trash row, so no masks are needed; the acc
-                # scatter runs sorted (or through the MXU segment-sum
-                # kernel), measured 2-3x the unsorted form at window scale
+                # delivery expansion over the local-first views: dead/pad
+                # edges point d_gat at the zero trash row, so no masks are
+                # needed. LOCAL-destination deliveries run straight into r
+                # (their tile ranges cover exactly the local segment; the
+                # localized seg ids of remote edges in shared boundary
+                # chunks fall outside [0, n_local) and match no tile row) —
+                # the reduce-scatter only ever carries REMOTE mass, and is
+                # statically absent at K=1 where every edge is local.
                 moving_ext = jnp.concatenate(
                     [moving, jnp.zeros((1, mass.shape[1]), dtype)]
                 )
                 if use_segsum and use_bf16:
                     moving_ext = moving_ext.astype(jnp.bfloat16)
+                base = jax.lax.axis_index("rows").astype(jnp.int32) * n_local
+                contrib = moving_ext[d_gat]
+                fcontrib = moving_ext[fd_gat]
+                if mode != FORWARD:
+                    # receiver-side 1/d_out folds in per edge for the local
+                    # delivery (same trick as the single-chip engine); the
+                    # remote path stays unscaled — owners apply inv_deg
+                    # after the reduce-scatter
+                    fac = inv_deg[jnp.clip(d_sca - base, 0, n_local - 1), 0]
+                    ffac = inv_deg[jnp.clip(fd_sca - base, 0, n_local - 1), 0]
+                    contrib_l = contrib * fac[:, None].astype(contrib.dtype)
+                    fcontrib_l = fcontrib * ffac[:, None].astype(fcontrib.dtype)
+                else:
+                    contrib_l, fcontrib_l = contrib, fcontrib
                 if use_segsum:
-                    acc = segsum_add(
-                        carry, moving_ext[d_gat],
-                        d_sca.reshape(-1, 128), snap["d_toff"],
+                    r = segsum_add(
+                        r, contrib_l,
+                        (d_sca - base).reshape(-1, 128), snap["d_toffl"],
                     )
-                    acc = segsum_add(
-                        acc, moving_ext[fd_gat],
-                        fd_sca.reshape(-1, 128), snap["fd_toff"],
+                    r = segsum_add(
+                        r, fcontrib_l,
+                        (fd_sca - base).reshape(-1, 128), snap["fd_toffl"],
                     )
                 else:
-                    acc = carry.at[jnp.clip(d_sca, 0, n_pad - 1)].add(
-                        moving_ext[d_gat], indices_are_sorted=True
+                    in1 = jnp.logical_and(d_sca >= base, d_sca < base + n_local)
+                    in2 = jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
+                    r = r.at[jnp.clip(d_sca - base, 0, n_local - 1)].add(
+                        contrib_l.astype(dtype) * in1[:, None].astype(dtype)
                     )
-                    acc = acc.at[jnp.clip(fd_sca, 0, n_pad - 1)].add(
-                        moving_ext[fd_gat], indices_are_sorted=True
+                    r = r.at[jnp.clip(fd_sca - base, 0, n_local - 1)].add(
+                        fcontrib_l.astype(dtype) * in2[:, None].astype(dtype)
                     )
+                if K > 1:
+                    if use_segsum:
+                        acc = segsum_add(
+                            carry, contrib,
+                            d_sca.reshape(-1, 128), snap["d_toff"],
+                        )
+                        acc = segsum_add(
+                            acc, fcontrib,
+                            fd_sca.reshape(-1, 128), snap["fd_toff"],
+                        )
+                    else:
+                        rem1 = jnp.logical_not(
+                            jnp.logical_and(d_sca >= base, d_sca < base + n_local)
+                        )
+                        rem2 = jnp.logical_not(
+                            jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
+                        )
+                        acc = carry.at[jnp.clip(d_sca, 0, n_pad - 1)].add(
+                            contrib.astype(dtype) * rem1[:, None].astype(dtype)
+                        )
+                        acc = acc.at[jnp.clip(fd_sca, 0, n_pad - 1)].add(
+                            fcontrib.astype(dtype) * rem2[:, None].astype(dtype)
+                        )
+                    delta = jax.lax.psum_scatter(
+                        acc, "rows", scatter_dimension=0, tiled=True
+                    )
+                    if mode == FORWARD:
+                        r = r + delta
+                    else:
+                        r = r + delta * inv_deg
+                # else: K == 1 -> every edge is local by construction; the
+                # carry is provably never fed (per-tier quota >= any deduped
+                # emission at K=1), so there is no remote mass to flush
                 carry = jnp.zeros_like(carry)
                 pend = jnp.zeros((), jnp.int32)
-                delta = jax.lax.psum_scatter(
-                    acc, "rows", scatter_dimension=0, tiled=True
-                )
-                if mode == FORWARD:
-                    r = r + delta
-                else:
-                    r = r + delta * inv_deg
-                # exact rescan reseed
+                # exact rescan reseed; the nonzero compaction (the rescan's
+                # dominant term) only runs when the frontier could actually
+                # take a compact round next — the early post-slide rounds
+                # have cn2 far above the ladder and go dense regardless.
+                # The decision must be UNIFORM along 'rows' (cand2 feeds an
+                # all_to_all round): pmax the count like the tier choice.
                 act2 = active_of(r, deg)
                 any2 = jnp.any(act2, axis=1)
                 cn2 = jnp.sum(any2, dtype=jnp.int32)
-                (idx2,) = jnp.nonzero(any2, size=wcarry, fill_value=n_local)
-                cand2 = idx2.astype(jnp.int32)
                 fed2 = jnp.sum(jnp.where(any2, srl, 0), dtype=jnp.int32)
                 fre2 = jnp.sum(jnp.where(any2, f_len, 0), dtype=jnp.int32)
-                ok2 = (cn2 <= wcarry).astype(jnp.int32)
+                fits2 = jnp.logical_and(
+                    jnp.logical_and(
+                        jax.lax.pmax(cn2, "rows") <= tiers[-1][0],
+                        jax.lax.pmax(fed2, "rows") <= tiers[-1][1],
+                    ),
+                    jax.lax.pmax(fre2, "rows") <= tiers[-1][2],
+                )
+
+                def reseed(any2):
+                    (idx2,) = jnp.nonzero(any2, size=wcarry, fill_value=n_local)
+                    return idx2.astype(jnp.int32)
+
+                cand2 = jax.lax.cond(
+                    fits2, reseed,
+                    lambda _: jnp.full(wcarry, n_local, jnp.int32), any2,
+                )
+                ok2 = fits2.astype(jnp.int32)
                 na = jnp.sum(act, dtype=jnp.float32)
                 ew = jnp.sum(act * (srl + f_len)[:, None], dtype=jnp.float32)
                 stats2 = (stats[0] + 1, stats[1] + na, stats[2] + ew, stats[3])
@@ -653,7 +828,10 @@ class ShardedWlEngine(ShardedEngine):
             live0 = cand0 < n_local
             cn0 = jnp.sum(live0, dtype=jnp.int32)
             fed0, fre0 = counts_of(cand0, live0)
-            carry0 = jnp.zeros((n_pad, s_loc), dtype)
+            # at K=1 the carry is provably never fed (per-tier quotas cover
+            # any deduped emission), so it shrinks to a dummy row — keeping
+            # an [n_pad, S] zero buffer in the loop carry costs real copies
+            carry0 = jnp.zeros((n_pad if K > 1 else 1, s_loc), dtype)
             stats0 = (
                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
@@ -692,21 +870,39 @@ class ShardedWlEngine(ShardedEngine):
             n_t = len(tiers)
 
             def deliver(r, send_ids, send_mass):
+                q = send_ids.shape[0] // K  # per-destination quota
                 if use_bf16:
                     send_mass = send_mass.astype(jnp.bfloat16)
                 recv_ids = jax.lax.all_to_all(
-                    send_ids.reshape(K, ccap), "rows",
+                    send_ids.reshape(K, q), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
                 ).reshape(-1)
                 recv_mass = jax.lax.all_to_all(
-                    send_mass.reshape(K, ccap, s_loc), "rows",
+                    send_mass.reshape(K, q, s_loc), "rows",
                     split_axis=0, concat_axis=0, tiled=True,
                 ).reshape(-1, s_loc).astype(dtype)
-                rc = jnp.clip(recv_ids, 0, n_local - 1)
-                if mode == FORWARD:
-                    r = r.at[rc].add(recv_mass)
+                M = K * q
+                if M >= SORT_BUCKET_MIN:
+                    lane_r = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+                    rid_s, order_r = jax.lax.sort(
+                        (recv_ids, lane_r), num_keys=1, is_stable=True
+                    )
+                    rm_s = recv_mass[order_r] * (
+                        rid_s < n_local
+                    ).astype(dtype)[:, None]
+                    rcs = jnp.clip(rid_s, 0, n_local - 1)
+                    if mode == FORWARD:
+                        r = r.at[rcs].add(rm_s, indices_are_sorted=True)
+                    else:
+                        r = r.at[rcs].add(
+                            rm_s * inv_deg[rcs], indices_are_sorted=True
+                        )
                 else:
-                    r = r.at[rc].add(recv_mass * inv_deg[rc])
+                    rc = jnp.clip(recv_ids, 0, n_local - 1)
+                    if mode == FORWARD:
+                        r = r.at[rc].add(recv_mass)
+                    else:
+                        r = r.at[rc].add(recv_mass * inv_deg[rc])
                 return r, recv_ids
 
             def next_cand(prev_ids, prev_live, recv_ids):
@@ -727,6 +923,7 @@ class ShardedWlEngine(ShardedEngine):
 
             def compact_round(i, c, cand_override=None):
                 w_i, e_i, g_i = tiers[i]
+                ccap = ccaps[i]
                 (p, r, cand, cn, fed, fre, okf, cids, cmass, pend, stats) = c
                 candw = cand[:w_i] if cand_override is None else cand_override
                 cc = jnp.clip(candw, 0, n_local - 1)
@@ -741,8 +938,13 @@ class ShardedWlEngine(ShardedEngine):
                 act = jnp.logical_and(act, live[:, None])
                 mass = jnp.where(act, r_c, jnp.zeros((), dtype))
                 dang_c = (deg_c == 0)[:, None]
-                p = p.at[cc].add(jnp.where(dang_c, mass, alpha * mass))
-                r = r.at[cc].add(-mass)
+                # cand lists are ascending (next_cand nonzero / iota
+                # override / np.unique host seeds) -> sorted scatters
+                p = p.at[cc].add(
+                    jnp.where(dang_c, mass, alpha * mass),
+                    indices_are_sorted=True,
+                )
+                r = r.at[cc].add(-mass, indices_are_sorted=True)
                 if mode == FORWARD:
                     inv_c = 1.0 / jnp.maximum(deg_c, 1).astype(dtype)
                     moving = (1.0 - alpha) * mass * inv_c[:, None]
@@ -906,22 +1108,11 @@ class ShardedWlEngine(ShardedEngine):
             f_off2 = jnp.concatenate(
                 [jnp.zeros(1, jnp.int32), jnp.cumsum(f_len2, dtype=jnp.int32)]
             )
-            # delivery-sorted fresh view for dense rounds
-            iota_rs = jax.lax.broadcasted_iota(jnp.int32, (RS,), 0)
-            fd_sca0, _, fd_gat0 = jax.lax.sort(
-                (fr_sca2, iota_rs, fr_gat2), num_keys=1, is_stable=True
-            )
-            fd_sca2 = jnp.concatenate(
-                [fd_sca0, jnp.full(fpad - RS, n_pad, jnp.int32)]
-            )
-            fd_gat2 = jnp.concatenate(
-                [fd_gat0, jnp.full(fpad - RS, n_local, jnp.int32)]
-            )
-            counts_f = jnp.zeros(n_pad, jnp.int32).at[
-                jnp.clip(fr_sca2, 0, n_pad - 1)
-            ].add((fr_sca2 < n_pad).astype(jnp.int32))
-            offs_f = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_f, dtype=jnp.int32)]
+            # delivery-sorted fresh view for dense rounds (local-first
+            # layout, same as the snapshot's d view)
+            base = jax.lax.axis_index("rows").astype(jnp.int32) * n_local
+            fd_sca2, fd_gat2, _, fd_toffl, fd_toff = _delivery_views(
+                fr_sca2, fr_gat2, fr_sca2 < n_pad, RS, base
             )
             return {
                 **snap,
@@ -929,7 +1120,8 @@ class ShardedWlEngine(ShardedEngine):
                 "d_gat": d_gat2,
                 "fd_gat": fd_gat2,
                 "fd_sca": fd_sca2,
-                "fd_toff": tile_offsets(offs_f, n_pad, SEGSUM_TR),
+                "fd_toff": fd_toff,
+                "fd_toffl": fd_toffl,
                 "fr_gat": fr_gat2,
                 "fr_sca": fr_sca2,
                 "f_off": f_off2,
@@ -1019,23 +1211,32 @@ class ShardedWlEngine(ShardedEngine):
                 # fresh edges — together exactly the eva-live set)
                 s_loc = p.shape[1]
                 p_ext = jnp.concatenate([p, jnp.zeros((1, s_loc), dtype)])
+                base = jax.lax.axis_index("rows").astype(jnp.int32) * n_local
+                d_sca_, fd_sca_ = snap["d_sca"], snap["fd_sca"]
+                contrib = p_ext[snap["d_gat"]]
+                fcontrib = p_ext[snap["fd_gat"]]
+                # rowsum sweep over the local-first delivery views: rows
+                # whose out-edges' sum lives on this shard accumulate
+                # directly; only remote-row contributions ride the
+                # reduce-scatter (statically none at K=1)
                 if use_segsum:
-                    acc_old = segsum_add(
-                        jnp.zeros((n_pad, s_loc), dtype),
-                        p_ext[snap["d_gat"]],
-                        snap["d_sca"].reshape(-1, 128), snap["d_toff"],
+                    s_loc_old = segsum_add(
+                        jnp.zeros((n_local, s_loc), dtype), contrib,
+                        (d_sca_ - base).reshape(-1, 128), snap["d_toffl"],
                     )
-                    acc_old = segsum_add(
-                        acc_old, p_ext[snap["fd_gat"]],
-                        snap["fd_sca"].reshape(-1, 128), snap["fd_toff"],
+                    s_loc_old = segsum_add(
+                        s_loc_old, fcontrib,
+                        (fd_sca_ - base).reshape(-1, 128), snap["fd_toffl"],
                     )
                 else:
-                    acc_old = jnp.zeros((n_pad, s_loc), dtype).at[
-                        jnp.clip(snap["d_sca"], 0, n_pad - 1)
-                    ].add(p_ext[snap["d_gat"]], indices_are_sorted=True)
-                    acc_old = acc_old.at[
-                        jnp.clip(snap["fd_sca"], 0, n_pad - 1)
-                    ].add(p_ext[snap["fd_gat"]], indices_are_sorted=True)
+                    in1 = jnp.logical_and(d_sca_ >= base, d_sca_ < base + n_local)
+                    in2 = jnp.logical_and(fd_sca_ >= base, fd_sca_ < base + n_local)
+                    s_loc_old = jnp.zeros((n_local, s_loc), dtype).at[
+                        jnp.clip(d_sca_ - base, 0, n_local - 1)
+                    ].add(contrib * in1[:, None].astype(dtype))
+                    s_loc_old = s_loc_old.at[
+                        jnp.clip(fd_sca_ - base, 0, n_local - 1)
+                    ].add(fcontrib * in2[:, None].astype(dtype))
                 old_v = eva[clear_slots].astype(dtype)[:, None]
                 acc_d = jnp.zeros((n_pad, s_loc), dtype).at[
                     eog[clear_slots]
@@ -1043,12 +1244,40 @@ class ShardedWlEngine(ShardedEngine):
                 acc_d = acc_d.at[write_sg].add(
                     p[write_dl] * write_v.astype(dtype)[:, None]
                 )
-                red = jax.lax.psum_scatter(
-                    jnp.concatenate([acc_old, acc_d], axis=1), "rows",
-                    scatter_dimension=0, tiled=True,
-                )
-                s_old = red[:, :s_loc]
-                s_new = s_old + red[:, s_loc:]
+                if K > 1:
+                    if use_segsum:
+                        acc_old = segsum_add(
+                            jnp.zeros((n_pad, s_loc), dtype), contrib,
+                            d_sca_.reshape(-1, 128), snap["d_toff"],
+                        )
+                        acc_old = segsum_add(
+                            acc_old, fcontrib,
+                            fd_sca_.reshape(-1, 128), snap["fd_toff"],
+                        )
+                    else:
+                        acc_old = jnp.zeros((n_pad, s_loc), dtype).at[
+                            jnp.clip(d_sca_, 0, n_pad - 1)
+                        ].add(
+                            contrib
+                            * jnp.logical_not(in1)[:, None].astype(dtype)
+                        )
+                        acc_old = acc_old.at[
+                            jnp.clip(fd_sca_, 0, n_pad - 1)
+                        ].add(
+                            fcontrib
+                            * jnp.logical_not(in2)[:, None].astype(dtype)
+                        )
+                    red = jax.lax.psum_scatter(
+                        jnp.concatenate([acc_old, acc_d], axis=1), "rows",
+                        scatter_dimension=0, tiled=True,
+                    )
+                    s_old = s_loc_old + red[:, :s_loc]
+                    s_new = s_old + red[:, s_loc:]
+                else:
+                    # single shard: the batch-delta "collective" is its own
+                    # block — no reduce needed
+                    s_old = s_loc_old
+                    s_new = s_old + acc_d[:n_local]
                 eva2 = eva.at[clear_slots].set(0)
                 egl2 = egl.at[write_slots].set(write_dl)
                 eog2 = eog.at[write_slots].set(write_sg)

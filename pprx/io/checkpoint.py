@@ -219,7 +219,13 @@ def save_sharded_checkpoint(path: str, drv) -> None:
         "bcap": drv.eng.bcap,
         "s_total": drv.eng.s_total,
         "exchange": drv.eng.exchange,
-        "ccap_requested": drv.eng.ccap,
+        # wl engines derive per-tier quotas from (tiers, K) unless the user
+        # capped them; persist the USER's intent so the reconstructed
+        # engine re-derives the same quotas (the parent's self.ccap is the
+        # dense push path's knob and would wrongly cap a wl resume)
+        "ccap_requested": (
+            drv.eng.user_ccap if wl else drv.eng.ccap
+        ),
     }
     import jax
 
@@ -230,7 +236,11 @@ def save_sharded_checkpoint(path: str, drv) -> None:
             "e_top": drv.eng.e_top,
             "n_tiers": drv.eng.n_tiers,
             "bf16d": drv.eng.bf16d,
+            # the resolved segsum flag (advisor round-3): bit-identical
+            # resume must not re-derive it from backend/shape heuristics
+            "segsum": drv.eng.segsum,
             "tiers": [list(t) for t in drv.eng.tiers],
+            "ccaps": [int(c) for c in drv.eng.ccaps],
             "since_rb": drv._since_rb,
         }
         extra = {
@@ -297,12 +307,13 @@ def load_sharded_checkpoint(
             cfg=cfg,
             mode=meta["mode"],
             dtype=z["p"].dtype,
-            ccap=meta.get("ccap_requested", 2048),
+            ccap=meta.get("ccap_requested"),
             fring=tune["fring"],
             e_top=tune["e_top"],
             n_tiers=tune["n_tiers"],
             proportional=(meta["engine"] == "wlp"),
             bf16d=bool(tune.get("bf16d", False)),
+            segsum=tune.get("segsum"),
         )
         got = [list(t) for t in drv.eng.tiers]
         if got != tune["tiers"]:
@@ -312,6 +323,11 @@ def load_sharded_checkpoint(
                 f"wl checkpoint tier mismatch: saved {tune['tiers']}, "
                 f"reconstructed {got} — mesh/capacity params differ from "
                 "the run that wrote the checkpoint"
+            )
+        if "ccaps" in tune and list(drv.eng.ccaps) != tune["ccaps"]:
+            raise ValueError(
+                f"wl checkpoint quota mismatch: saved {tune['ccaps']}, "
+                f"reconstructed {list(drv.eng.ccaps)}"
             )
     else:
         drv.eng = ShardedEngine(
@@ -355,6 +371,13 @@ def load_sharded_checkpoint(
     drv._wl = wl
     drv._row_sh = row_sh
     if wl:
+        missing = [k for k in _wl_snap_keys() if f"snap_{k}" not in z]
+        if missing:
+            raise ValueError(
+                "sharded wl checkpoint uses an older snapshot layout "
+                f"(missing fields {missing}); re-create it with this "
+                "version (the delivery views changed in round 4)"
+            )
         drv.snap = {
             k: jax.device_put(jnp.asarray(z[f"snap_{k}"]), row_sh)
             for k in _wl_snap_keys()
