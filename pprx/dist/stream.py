@@ -195,9 +195,9 @@ class ShardedStreamDriver:
             src, dstv = self.stream_src, self.stream_dst
             ones = np.ones(b, np.int32)
 
-            # by-src-owner correction batches (both modes need these); in
-            # forward mode the gather key IS src, so the slot groupings
-            # coincide and everything fuses into two multi-column scatters
+            # by-src-owner correction batches; in forward mode the gather
+            # key IS src, so the slot groupings coincide and everything
+            # fuses into two multi-column scatters
             oo = src[expire] // n_local
             on = src[fresh] // n_local
             flat_o, cnt_o = _group(oo, K, b)
@@ -210,12 +210,6 @@ class ShardedStreamDriver:
             else:
                 flat_c, cnt_c = _group(go, K, b)
                 flat_w, cnt_w = _group(gn, K, b)
-            del_u = _pack(flat_o, (src[expire] - oo * n_local).astype(np.int32), K * b)
-            del_w = _pack(flat_o, dstv[expire].astype(np.int32), K * b)
-            del_v = _pack(flat_o, ones, K * b)
-            ins_u = _pack(flat_n, (src[fresh] - on * n_local).astype(np.int32), K * b)
-            ins_w = _pack(flat_n, dstv[fresh].astype(np.int32), K * b)
-            ins_v = _pack(flat_n, ones, K * b)
             clear_slots = _pack(flat_c, self.pos_slot[expire], K * b, fillval=trash)
 
             alloc_rows = np.full(K * b, trash, np.int32)
@@ -239,34 +233,8 @@ class ShardedStreamDriver:
             # forward: gather endpoint = src, so write_slots entry i aligns
             # with ins_* entry i (same owner key, same stream order)
             write_slots = alloc_rows
-            if self.mode != FORWARD:
-                write_dl = _pack(flat_w, (dstv[fresh] - gn * n_local).astype(np.int32), K * b)
-                write_sg = _pack(flat_w, src[fresh].astype(np.int32), K * b)
-                write_v = _pack(flat_w, ones, K * b)
             wl_extra = {}
             if self._wl:
-                # candidate seed: every row the corrections touch, unique,
-                # partitioned by owner (u rows by src owner; forward mode
-                # also the correction-delivery targets w)
-                if self.mode == FORWARD:
-                    ids = np.unique(np.concatenate(
-                        [src[expire], src[fresh], dstv[expire], dstv[fresh]]
-                    ))
-                else:
-                    ids = np.unique(np.concatenate([src[expire], src[fresh]]))
-                own = ids // n_local
-                wc = eng.wcarry
-                cnts = np.bincount(own, minlength=K)
-                assert cnts.max() <= wc, "cand0 overflow (wcarry < 4b?)"
-                starts = np.zeros(K + 1, np.int64)
-                np.cumsum(cnts, out=starts[1:])
-                rank = np.arange(ids.size, dtype=np.int64) - np.repeat(
-                    starts[:-1], cnts
-                )
-                cand_rows = np.full(K * wc, eng.n_local, np.int32)
-                cand_rows[own.astype(np.int64) * wc + rank] = (
-                    ids - own * n_local
-                ).astype(np.int32)
                 # rebuild before the slide if the fresh ring would overflow
                 # or the oldest fresh edge would outlive the window
                 if (
@@ -276,36 +244,77 @@ class ShardedStreamDriver:
                     self.snap = eng.rebuild(self.egl, self.eog, self.eva)
                     self._fcnt_host[:] = 0
                     self._since_rb = 0
+                # ONE packed int32 transfer per slide: only non-derivable
+                # data ships (fresh edges + the host's slot schedule).
+                # Expiring edges / validity flags / the candidate seed are
+                # derived on device (see the slide builders in pprx.dist.wl)
+                # — H2D bytes are the slide's wall limiter on tunneled
+                # transports and real PCIe pressure on pods.
+                Lp = eng.pack_len
+                pk = np.zeros((K, Lp), np.int32)
+                if self.mode == FORWARD:
+                    pk[:, 0:b] = _pack(
+                        flat_n, (src[fresh] - on * n_local).astype(np.int32),
+                        K * b,
+                    ).reshape(K, b)
+                    pk[:, b:2 * b] = _pack(
+                        flat_n, dstv[fresh].astype(np.int32), K * b
+                    ).reshape(K, b)
+                    pk[:, 2 * b:3 * b] = clear_slots.reshape(K, b)
+                    pk[:, 3 * b:4 * b] = write_slots.reshape(K, b)
+                    pk[:, 4 * b] = cnt_w
+                else:
+                    pk[:, 0:b] = _pack(
+                        flat_o, (src[expire] - oo * n_local).astype(np.int32),
+                        K * b,
+                    ).reshape(K, b)
+                    pk[:, b:2 * b] = _pack(
+                        flat_n, (src[fresh] - on * n_local).astype(np.int32),
+                        K * b,
+                    ).reshape(K, b)
+                    pk[:, 2 * b:3 * b] = clear_slots.reshape(K, b)
+                    pk[:, 3 * b:4 * b] = write_slots.reshape(K, b)
+                    pk[:, 4 * b:5 * b] = _pack(
+                        flat_w, (dstv[fresh] - gn * n_local).astype(np.int32),
+                        K * b,
+                    ).reshape(K, b)
+                    pk[:, 5 * b:6 * b] = _pack(
+                        flat_w, src[fresh].astype(np.int32), K * b
+                    ).reshape(K, b)
+                    pk[:, 6 * b] = cnt_o
+                    pk[:, 6 * b + 1] = cnt_n
+                    pk[:, 6 * b + 2] = cnt_w
+            else:
+                del_u = _pack(flat_o, (src[expire] - oo * n_local).astype(np.int32), K * b)
+                del_w = _pack(flat_o, dstv[expire].astype(np.int32), K * b)
+                del_v = _pack(flat_o, ones, K * b)
+                ins_u = _pack(flat_n, (src[fresh] - on * n_local).astype(np.int32), K * b)
+                ins_w = _pack(flat_n, dstv[fresh].astype(np.int32), K * b)
+                ins_v = _pack(flat_n, ones, K * b)
+                if self.mode != FORWARD:
+                    write_dl = _pack(flat_w, (dstv[fresh] - gn * n_local).astype(np.int32), K * b)
+                    write_sg = _pack(flat_w, src[fresh].astype(np.int32), K * b)
+                    write_v = _pack(flat_w, ones, K * b)
             self.last_host_ms = (time.perf_counter() - t_host) * 1e3
             if getattr(self, "debug_batches", False):
-                # timing scripts (scripts/sharded_phases.py) replay these
+                # timing scripts (scripts/sharded_phases.py) replay batches
                 # standalone to decompose the fused slide program
                 self._batches = {
-                    "del_u": del_u, "del_w": del_w, "del_v": del_v,
-                    "ins_u": ins_u, "ins_w": ins_w, "ins_v": ins_v,
                     "clear_slots": clear_slots, "write_slots": write_slots,
+                    "del_u": _pack(flat_o, (src[expire] - oo * n_local).astype(np.int32), K * b),
+                    "del_w": _pack(flat_o, dstv[expire].astype(np.int32), K * b),
+                    "del_v": _pack(flat_o, ones, K * b),
+                    "ins_u": _pack(flat_n, (src[fresh] - on * n_local).astype(np.int32), K * b),
+                    "ins_w": _pack(flat_n, dstv[fresh].astype(np.int32), K * b),
+                    "ins_v": _pack(flat_n, ones, K * b),
                 }
-                if self._wl:
-                    self._batches["cand_rows"] = cand_rows
 
             A = self._rows_array
             if self._wl:
-                if self.mode == FORWARD:
-                    out = eng.slide_wl(
-                        self.p, self.r, self.deg, self.egl, self.eog, self.eva,
-                        self.snap, A(cand_rows),
-                        A(del_u), A(del_w), A(del_v),
-                        A(ins_u), A(ins_w), A(ins_v),
-                        A(clear_slots), A(write_slots),
-                    )
-                else:
-                    out = eng.slide_wl(
-                        self.p, self.r, self.deg, self.egl, self.eog, self.eva,
-                        self.snap, A(cand_rows),
-                        A(del_u), A(del_v), A(ins_u), A(ins_v),
-                        A(clear_slots), A(write_slots),
-                        A(write_dl), A(write_sg), A(write_v),
-                    )
+                out = eng.slide_wl(
+                    self.p, self.r, self.deg, self.egl, self.eog, self.eva,
+                    self.snap, A(pk.reshape(-1)),
+                )
                 (self.p, self.r, rounds, pushes, epushes, wl,
                  self.deg, self.egl, self.eog, self.eva, self.snap) = out
                 wl_extra = {"wl_rounds": int(wl)}

@@ -265,10 +265,12 @@ class ShardedWlEngine(ShardedEngine):
         # a pod); residual removal, thresholds, rowsum sweeps and the
         # carry stay exact f32.
         self.bf16d = bool(bf16d)
-        # fring=4b: the per-slide fresh-ring sorts (mutate_graph) and the
-        # dense rounds' fresh-view gathers scale with fring; 4b measured
-        # better than 8b once rebuilds amortize over 4 slides (round 4)
-        self.fring = max(bcap, fring if fring is not None else 4 * bcap)
+        # fring=2b: the per-slide fresh-ring sorts (mutate_graph) and the
+        # dense rounds' fresh-view gathers scale with fring; once the slide
+        # became a single packed transfer, 2b measured best of {2b, 4b, 8b}
+        # at headline shapes (the rebuild amortizes over 2 slides but the
+        # per-slide ring work halves; round-4 sweep)
+        self.fring = max(bcap, fring if fring is not None else 2 * bcap)
         # snapshot arrays have ecap usable positions + 1 trash position
         self.sstride = self.slot_stride  # ecap + 1
         # e_top=64k: a tier-3-sized compact round (e=262144) costs 45 ms at
@@ -1131,20 +1133,53 @@ class ShardedWlEngine(ShardedEngine):
             }
 
         # ---------------- slides ----------------
+        # The slide takes ONE packed int32 batch per shard (H2D bandwidth is
+        # the slide's wall-clock limiter on tunneled transports, and fewer /
+        # smaller transfers also cut PCIe pressure on real hosts). Only
+        # non-derivable data ships: the fresh edges and the host's slot
+        # schedule. Expiring edges are read back from the device window
+        # buffers (egl/eog/eva at clear_slots — padding targets the trash
+        # slot whose eva is 0, so validity comes along for free), insert
+        # validity derives from the per-shard count, and the initial
+        # candidate list derives from which rows the corrections touched.
+        bcap_ = self.bcap
+
+        def _cand_from_marks(mark):
+            """Compact ascending candidate list from an [n_local+1] touch
+            mask (the push loop's cand0 contract: unique live rows first,
+            ascending, phantom-padded)."""
+            m = mark[:n_local]
+            (idx,) = jnp.nonzero(m, size=wcarry, fill_value=n_local)
+            return idx.astype(jnp.int32)
+
         if mode == FORWARD:
+            # pack layout per shard: [ins_u(b), ins_w(b), clear(b),
+            # write(b), cnt_w, pad...] — PACK_F words
+            PACK_F = 4 * bcap_ + 8
+
             @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6))
             @functools.partial(
                 smap,
                 in_specs=(spec_state, spec_state, spec_row, spec_row, spec_row,
-                          spec_row, snap_specs, spec_row) + (spec_row,) * 8,
+                          spec_row, snap_specs, spec_row),
                 out_specs=(spec_state, spec_state, rep, rep, rep, rep,
                            spec_row, spec_row, spec_row, spec_row, snap_specs),
             )
-            def slide_fn(
-                p, r, deg, egl, eog, eva, snap, cand0,
-                del_u, del_w, del_v, ins_u, ins_w, ins_v,
-                clear_slots, write_slots,
-            ):
+            def slide_fn(p, r, deg, egl, eog, eva, snap, pack):
+                b = bcap_
+                ins_u = pack[:b]
+                ins_w = pack[b:2 * b]
+                clear_slots = pack[2 * b:3 * b]
+                write_slots = pack[3 * b:4 * b]
+                cnt_w = pack[4 * b]
+                iota_b = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+                ins_v = (iota_b < cnt_w).astype(jnp.int32)
+                del_u = egl[clear_slots]
+                del_w = eog[clear_slots]
+                del_v = eva[clear_slots]
+                mark = jnp.zeros(n_local + 1, jnp.bool_)
+                mark = mark.at[jnp.where(del_v > 0, del_u, n_local)].set(True)
+                mark = mark.at[jnp.where(ins_v > 0, ins_u, n_local)].set(True)
                 carry_seed = ()
                 if self.proportional:
                     # correction deliveries ride the bucketed exchange too;
@@ -1167,6 +1202,9 @@ class ShardedWlEngine(ShardedEngine):
                     ).reshape(-1, p.shape[1])
                     r = r.at[jnp.clip(recv_ids, 0, n_local - 1)].add(recv_mass)
                     carry_seed = (cids0, cmass0, pend0)
+                    mark = mark.at[
+                        jnp.where(recv_ids < n_local, recv_ids, n_local)
+                    ].set(True)
                 else:
                     p, r, acc, deg2 = forward_corrections(
                         p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
@@ -1176,6 +1214,14 @@ class ShardedWlEngine(ShardedEngine):
                         acc, "rows", scatter_dimension=0, tiled=True
                     )
                     r = r + delta
+                    mark = jnp.logical_or(
+                        mark,
+                        jnp.concatenate(
+                            [jnp.any(delta != 0, axis=1),
+                             jnp.zeros(1, jnp.bool_)]
+                        ),
+                    )
+                cand0 = _cand_from_marks(mark)
                 eva2 = eva.at[clear_slots].set(0)
                 egl2 = egl.at[write_slots].set(ins_u)
                 eog2 = eog.at[write_slots].set(ins_w)
@@ -1188,20 +1234,37 @@ class ShardedWlEngine(ShardedEngine):
                 )
                 return (p, r, rounds, pushes, epushes, wl,
                         deg2, egl2, eog2, eva2, snap2)
+
+            self.pack_len = PACK_F
         else:
+            # pack layout per shard: [del_u(b), ins_u(b), clear(b),
+            # write_slots(b), write_dl(b), write_sg(b), cnt_o, cnt_n,
+            # cnt_w, pad...] — PACK_R words. del/ins batches are grouped by
+            # SRC owner (degree updates), write batches by DST owner (slot
+            # writes); validity flags derive from the counts.
+            PACK_R = 6 * bcap_ + 8
+
             @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6))
             @functools.partial(
                 smap,
                 in_specs=(spec_state, spec_state, spec_row, spec_row, spec_row,
-                          spec_row, snap_specs, spec_row) + (spec_row,) * 9,
+                          spec_row, snap_specs, spec_row),
                 out_specs=(spec_state, spec_state, rep, rep, rep, rep,
                            spec_row, spec_row, spec_row, spec_row, snap_specs),
             )
-            def slide_fn(
-                p, r, deg, egl, eog, eva, snap, cand0,
-                del_u, del_v, ins_u, ins_v,
-                clear_slots, write_slots, write_dl, write_sg, write_v,
-            ):
+            def slide_fn(p, r, deg, egl, eog, eva, snap, pack):
+                b = bcap_
+                del_u = pack[:b]
+                ins_u = pack[b:2 * b]
+                clear_slots = pack[2 * b:3 * b]
+                write_slots = pack[3 * b:4 * b]
+                write_dl = pack[4 * b:5 * b]
+                write_sg = pack[5 * b:6 * b]
+                cnt_o, cnt_n, cnt_w = pack[6 * b], pack[6 * b + 1], pack[6 * b + 2]
+                iota_b = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+                del_v = (iota_b < cnt_o).astype(jnp.int32)
+                ins_v = (iota_b < cnt_n).astype(jnp.int32)
+                write_v = (iota_b < cnt_w).astype(jnp.int32)
                 # reverse corrections with the rowsum sweep riding the
                 # delivery-sorted views: the parent's form scatters p[egl]
                 # UNSORTED over every window slot (the single largest
@@ -1287,12 +1350,29 @@ class ShardedWlEngine(ShardedEngine):
                     p, r, deg, del_u, del_v, ins_u, ins_v, s_old, s_new,
                     alpha_f, dtype,
                 )
+                # touched rows: any row whose correction was nonzero has a
+                # changed out-row sum or changed degree (pp terms cancel
+                # exactly otherwise), so this mark covers the new frontier
+                mark = jnp.zeros(n_local + 1, jnp.bool_)
+                mark = mark.at[jnp.where(del_v > 0, del_u, n_local)].set(True)
+                mark = mark.at[jnp.where(ins_v > 0, ins_u, n_local)].set(True)
+                mark = jnp.logical_or(
+                    mark,
+                    jnp.concatenate(
+                        [jnp.logical_or(
+                            jnp.any(s_new != s_old, axis=1), d_new != deg
+                        ), jnp.zeros(1, jnp.bool_)]
+                    ),
+                )
+                cand0 = _cand_from_marks(mark)
                 snap2 = mutate_graph(snap, clear_slots, write_dl, write_sg, write_v)
                 p, r, rounds, pushes, epushes, wl = loop_fn(
                     p, r, d_new, snap2, cand0, jnp.ones((), jnp.int32)
                 )
                 return (p, r, rounds, pushes, epushes, wl,
                         d_new, egl2, eog2, eva2, snap2)
+
+            self.pack_len = PACK_R
 
         self._wl_slide = slide_fn
 
@@ -1308,16 +1388,19 @@ class ShardedWlEngine(ShardedEngine):
             ok0 = 0
         return self._wl_push(p, r, deg, snap, cand0, jnp.asarray(ok0, jnp.int32))
 
-    def slide_wl(self, p, r, deg, egl, eog, eva, snap, cand0, *batches):
-        """One window slide on the compact-frontier push loop. ``cand0``
-        must be the host-built per-shard UNIQUE local ids of every row the
-        corrections touch (u rows by src owner; forward mode also the
-        correction-delivery targets w by their owner)."""
-        return self._wl_slide(p, r, deg, egl, eog, eva, snap, cand0, *batches)
+    def slide_wl(self, p, r, deg, egl, eog, eva, snap, pack):
+        """One window slide on the compact-frontier push loop. ``pack`` is
+        the per-shard packed int32 batch (layout in the slide builders —
+        self.pack_len words per shard): the ONE host->device transfer per
+        slide. Expiring edges, validity flags, and the initial candidate
+        list are derived on device."""
+        return self._wl_slide(p, r, deg, egl, eog, eva, snap, pack)
 
     def cand0_rows(self, rows_per_shard: np.ndarray):
         """Host helper: pack per-shard LOCAL candidate row lists (each
-        [wcarry], padded with n_local) into the sharded device array."""
+        [wcarry], unique ASCENDING, padded with n_local) into the sharded
+        device array. Ascending order is a hard contract: compact rounds
+        scatter p/r at the candidate rows with indices_are_sorted=True."""
         return jax.device_put(
             jnp.asarray(rows_per_shard.reshape(-1)),
             NamedSharding(self.mesh, self.row_spec),

@@ -45,20 +45,53 @@ from pprx.graph.dynamic import WindowGraph
 def wl2_slide_step(
     state: PprState,
     kg: KillGraph,
-    new_src: jnp.ndarray,
-    new_dst: jnp.ndarray,
-    old_src: jnp.ndarray,
-    old_dst: jnp.ndarray,
-    slots: jnp.ndarray,
-    fcnt: jnp.ndarray,
-    cand0: jnp.ndarray,
-    c0n: jnp.ndarray,
+    pack: jnp.ndarray,
     cfg: PprConfig,
     tiers: tuple[tuple[int, int, int], ...],
     segsum: bool = False,
     bf16d: bool = False,
 ) -> tuple[PprState, KillGraph, PushStats]:
+    """One window slide from a SINGLE packed int32 transfer.
+
+    ``pack`` layout: [new_src(b), new_dst(b), head, fcnt] (stream order).
+    Everything else is derived on device — the expiring batch is read back
+    from the device ring at the (head-derived) slots, both batches are
+    sorted by their correction-scatter endpoint with one (key, lane) sort
+    each, and the initial candidate list comes from a touch-mark compaction.
+    H2D bytes are the slide's wall-clock limiter on tunneled transports
+    (~50 MB/s measured; the old 6-array protocol shipped 5.8 MB/slide), and
+    device-derivable data never needs to ship on real hosts either.
+    """
     n = kg.n
+    b = (pack.shape[0] - 8) // 2
+    new_src0 = pack[:b]
+    new_dst0 = pack[b:2 * b]
+    head = pack[2 * b]
+    fcnt = pack[2 * b + 1]
+    wcap = kg.window.src.shape[0]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+    slots0 = jax.lax.rem(head + iota_b, jnp.int32(wcap))
+    old_src0 = kg.window.src[slots0]
+    old_dst0 = kg.window.dst[slots0]
+    # sort both batches by the correction-scatter endpoint so the [b, S]
+    # correction scatters see sorted indices (same policy the host sort
+    # used; one stable (key, lane) sort each)
+    sca_new = new_dst0 if state.mode == FORWARD else new_src0
+    sca_old = old_dst0 if state.mode == FORWARD else old_src0
+    _, pn = jax.lax.sort((sca_new, iota_b), num_keys=1, is_stable=True)
+    _, po = jax.lax.sort((sca_old, iota_b), num_keys=1, is_stable=True)
+    new_src, new_dst = new_src0[pn], new_dst0[pn]
+    old_src, old_dst = old_src0[po], old_dst0[po]
+    slots = slots0[pn]
+    # initial candidates: every endpoint the slide touches, unique
+    # ascending via an [n+1] touch mark
+    mark = jnp.zeros(n + 1, jnp.bool_)
+    mark = mark.at[old_src0].set(True).at[old_dst0].set(True)
+    mark = mark.at[new_src0].set(True).at[new_dst0].set(True)
+    c0n = jnp.sum(mark[:n], dtype=jnp.int32)
+    cap0 = min(4 * b, n + 1)
+    (cand0,) = jnp.nonzero(mark[:n], size=cap0, fill_value=n)
+    cand0 = cand0.astype(jnp.int32)
     # corrections need the OLD window buffer (reverse-mode row sums), so
     # they run before any mutation
     state, w = apply_edge_batch(state, kg.window, new_src, new_dst, old_src, old_dst, cfg)
@@ -181,6 +214,7 @@ class FastStreamDriver:
         self.hsrc = self.stream_src[:w].copy()
         self.hdst = self.stream_dst[:w].copy()
         self.cap0 = 4 * b
+        self._dev = jax.devices()[0]
         self._queries = list(queries)
         if segsum is None:
             # the MXU segment-sum kernel wins on real TPU hardware at
@@ -239,6 +273,8 @@ class FastStreamDriver:
         b = self.scfg.slide
         w = self.scfg.window
         total = self.steps_available if n_steps is None else n_steps
+        if not hasattr(self, "_dev"):  # checkpoint loads bypass __init__
+            self._dev = jax.devices()[0]
         for _ in range(total):
             if self.head + b > self.stream_src.shape[0]:
                 return
@@ -250,32 +286,19 @@ class FastStreamDriver:
             slots = (np.arange(self.head, self.head + b) % w).astype(np.int32)
             new_src = self.stream_src[self.head : self.head + b]
             new_dst = self.stream_dst[self.head : self.head + b]
-            old_src = self.hsrc[slots]
-            old_dst = self.hdst[slots]
-            # sort both batches by the correction-scatter endpoint so the
-            # [b, S] per-edge correction scatters see sorted indices
-            sca_new = new_dst if self.mode == FORWARD else new_src
-            sca_old = old_dst if self.mode == FORWARD else old_src
-            po = np.argsort(sca_old, kind="stable")
-            pn = np.argsort(sca_new, kind="stable")
-            new_src_s, new_dst_s = new_src[pn], new_dst[pn]
-            slots_s = slots[pn]
-            cand0 = np.full(self.cap0, self.n, np.int32)
-            uniq = np.unique(
-                np.concatenate([old_src, old_dst, new_src, new_dst])
-            )
-            cand0[: uniq.size] = uniq
+            # ONE packed transfer per slide; the expiring batch, the
+            # scatter-endpoint sorts, and the candidate seed are derived on
+            # device (see wl2_slide_step)
+            pack = np.empty(2 * b + 8, np.int32)
+            pack[:b] = new_src
+            pack[b : 2 * b] = new_dst
+            pack[2 * b :] = 0
+            pack[2 * b] = self.head
+            pack[2 * b + 1] = self.fcnt
             self.state, self.graph, stats = wl2_slide_step(
                 self.state,
                 self.graph,
-                jnp.asarray(new_src_s),
-                jnp.asarray(new_dst_s),
-                jnp.asarray(old_src[po]),
-                jnp.asarray(old_dst[po]),
-                jnp.asarray(slots_s),
-                jnp.asarray(self.fcnt, jnp.int32),
-                jnp.asarray(cand0),
-                jnp.asarray(min(uniq.size, self.cap0), jnp.int32),
+                jax.device_put(pack, self._dev),
                 cfg=self.cfg,
                 tiers=self.tiers,
                 segsum=self.segsum,

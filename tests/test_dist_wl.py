@@ -125,9 +125,10 @@ def test_wl_push_with_seed_candidates():
     )
     p, r = eng.init_state(queries)
     deg, egl, eog, eva, _, snap = eng.device_graph_wl(src, dst)
-    # seed = the query rows, partitioned by owner shard (unique per shard)
+    # seed = the query rows, partitioned by owner shard (unique ASCENDING
+    # per shard — the engine's sorted-candidate contract)
     rows = np.full((eng.n_rows, eng.wcarry), eng.n_local, np.int32)
-    for q in set(queries):
+    for q in sorted(set(queries)):
         k, loc = divmod(q, eng.n_local)
         j = int((rows[k] != eng.n_local).sum())
         rows[k][j] = loc
