@@ -238,6 +238,22 @@ def cmd_retrieve(args):
         # precision policy — BASELINE.md round 3)
         from pprx.io.checkpoint import load_checkpoint
 
+        try:
+            import json as _json
+
+            import numpy as _np
+
+            _z = _np.load(args.from_checkpoint)
+            _kind = _json.loads(bytes(_z["meta"]).decode()).get("kind")
+        except Exception:
+            _kind = None
+        if _kind == "sharded":
+            raise SystemExit(
+                "this is a SHARDED checkpoint; serve it through the sharded "
+                "driver (pprx.io.checkpoint.load_sharded_checkpoint + "
+                "pprx.dist.retrieve.make_sharded_topk), not "
+                "`retrieve --from-checkpoint`"
+            )
         drv = load_checkpoint(args.from_checkpoint, src, dst)
         if args.refine_eps:
             if not hasattr(drv, "refine"):
@@ -256,14 +272,15 @@ def cmd_retrieve(args):
                 "refine_rounds": int(rstats.rounds),
             }
         state = drv.state
+        # batch size comes from the state itself; older checkpoints may not
+        # carry the query vertex ids (do NOT fabricate them from range(S))
         queries = getattr(drv, "_queries", None)
+        n_batch = state.p.shape[1]
 
         class _S:  # stats stand-in: the push work happened in the stream
             rounds = 0
 
         stats = _S()
-        if queries is None:
-            queries = list(range(state.p.shape[1]))
     else:
         rng = np.random.default_rng(0)
         if args.queries == "random":
@@ -275,6 +292,7 @@ def cmd_retrieve(args):
         state, stats = jax.jit(push_to_convergence, static_argnames=("cfg",))(
             state, graph, cfg=_cfg(args)
         )
+        n_batch = len(queries)
     from pprx.eval.sync import hard_sync
 
     # warm up (compile) before timing the serving latency
@@ -288,12 +306,13 @@ def cmd_retrieve(args):
         json.dumps(
             {
                 "n": n,
-                "batch": len(queries),
+                "batch": n_batch,
+                "queries_known": queries is not None,
                 "k": args.k,
                 "push_rounds": int(stats.rounds),
                 "retrieval_ms": round(retr_ms, 3),
                 **refine_info,
-                "top1": [int(i) for i in np.asarray(ids[:, 0])[: min(8, len(queries))]],
+                "top1": [int(i) for i in np.asarray(ids[:, 0])[: min(8, n_batch)]],
             }
         )
     )

@@ -8,24 +8,31 @@ compact-frontier machinery (pprx.engine.wl2) PER SHARD inside shard_map:
 - each shard keeps a kill-in-place CSR snapshot of its owned window edges
   (gather endpoint local, scatter endpoint GLOBAL; expired slots point at
   the global phantom n_pad) plus a per-slide-re-sorted fresh mini-CSR;
-- a round gathers/pushes only the shard's compact candidate rows, expands
-  them with the edge-balanced run-length decode, winner-dedups the delivery
-  targets, and ships per-destination-shard buckets of (local id, mass[S])
-  over ONE ``lax.all_to_all`` along 'rows' — O(frontier) traffic, not
-  O(N_pad*S);
-- bucket overflow goes to a local [N_pad, S] carry outbox; any pending
-  carry forces the next round onto the DENSE path (full local expansion +
-  carry flush + psum_scatter + exact activity rescan), the proven overflow
-  semantics of the dense engine's a2a mode — mass is never dropped.
+- a round gathers/pushes only the shard's compact candidate rows
+  (candidate lists are unique ASCENDING by contract — the per-round p/r
+  scatters run with indices_are_sorted), expands them with the
+  edge-balanced run-length decode, dedups the delivery targets, and ships
+  per-destination-shard buckets of (local id, mass[S]) over ONE
+  ``lax.all_to_all`` along 'rows' — O(frontier) traffic, not O(N_pad*S);
+  per-TIER quotas size each tier's exchange to its own worst-case deduped
+  emission, so compact rounds do not overflow under balanced ownership;
+- bucket overflow goes to a local [N_pad, S] carry outbox ([1, S] at K=1,
+  where quotas provably cover every emission); any pending carry forces
+  the next round onto the DENSE path (full local expansion + carry flush +
+  psum_scatter + exact activity rescan) — mass is never dropped.
   ``proportional=True`` replaces both with a compact sorted carry drained
-  by dedicated a2a rounds (no [N_pad, S] arrays anywhere; see
-  ``sorted_bucket`` and the class docstring);
+  by dedicated a2a rounds (push-path memory is O(n_local*S + frontier);
+  the REVERSE-mode slide corrections still build an [n_pad, 2S] rowsum
+  stack for their reduce-scatter — see the class docstring);
 - big emissions (and, in the proportional engine, every round) dedup and
-  bucket by SORT instead of the winner-scatter: one stable multi-operand
-  sort + a sorted segment scatter + K+1 scalar binary searches
-  (``sorted_bucket``); dense-flush rounds and the reverse slide's rowsum
-  sweep deliver through the delivery-sorted snapshot/fresh views (same
-  segment-sum kernel as the single-chip engine);
+  bucket by SORT: one stable multi-operand sort, a sorted segment scatter,
+  K+1 scalar binary searches, and GATHER-constructed send buffers
+  (``sorted_bucket``); big deliveries sort on the receive side too;
+- dense-flush rounds and the reverse slide's rowsum sweep use LOCAL-FIRST
+  delivery views: locally-owned contributions run straight into r through
+  the segment-sum kernel and only remote mass rides the reduce-scatter
+  (statically absent at K=1) — the distributed-SpMV diagonal-block
+  optimization;
 - the tier / dense decision is made UNIFORM along 'rows' by pmax-ing the
   per-shard frontier counts (devices that share an all_to_all group must
   take the same branch); 'srcs' groups decide independently (their
@@ -706,11 +713,16 @@ class ShardedWlEngine(ShardedEngine):
                 else:
                     in1 = jnp.logical_and(d_sca >= base, d_sca < base + n_local)
                     in2 = jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
+                    # at K=1 the whole view is the local segment sorted by
+                    # dst (dead tail clips to n_local-1, still monotone) —
+                    # the flag is only unsafe when a remote part exists
                     r = r.at[jnp.clip(d_sca - base, 0, n_local - 1)].add(
-                        contrib_l.astype(dtype) * in1[:, None].astype(dtype)
+                        contrib_l.astype(dtype) * in1[:, None].astype(dtype),
+                        indices_are_sorted=(K == 1),
                     )
                     r = r.at[jnp.clip(fd_sca - base, 0, n_local - 1)].add(
-                        fcontrib_l.astype(dtype) * in2[:, None].astype(dtype)
+                        fcontrib_l.astype(dtype) * in2[:, None].astype(dtype),
+                        indices_are_sorted=(K == 1),
                     )
                 if K > 1:
                     if use_segsum:
@@ -1294,12 +1306,17 @@ class ShardedWlEngine(ShardedEngine):
                 else:
                     in1 = jnp.logical_and(d_sca_ >= base, d_sca_ < base + n_local)
                     in2 = jnp.logical_and(fd_sca_ >= base, fd_sca_ < base + n_local)
+                    # K=1: the view is entirely the dst-sorted local
+                    # segment (dead tail clips monotonically), so the
+                    # window-scale rowsum scatters run sorted
                     s_loc_old = jnp.zeros((n_local, s_loc), dtype).at[
                         jnp.clip(d_sca_ - base, 0, n_local - 1)
-                    ].add(contrib * in1[:, None].astype(dtype))
+                    ].add(contrib * in1[:, None].astype(dtype),
+                          indices_are_sorted=(K == 1))
                     s_loc_old = s_loc_old.at[
                         jnp.clip(fd_sca_ - base, 0, n_local - 1)
-                    ].add(fcontrib * in2[:, None].astype(dtype))
+                    ].add(fcontrib * in2[:, None].astype(dtype),
+                          indices_are_sorted=(K == 1))
                 old_v = eva[clear_slots].astype(dtype)[:, None]
                 acc_d = jnp.zeros((n_pad, s_loc), dtype).at[
                     eog[clear_slots]

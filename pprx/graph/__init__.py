@@ -1,4 +1,3 @@
-from pprx.graph.csr import Csr, coo_to_csr, degrees_from_coo
 from pprx.graph.io import (
     load_edge_list,
     save_packed,
@@ -8,9 +7,6 @@ from pprx.graph.io import (
 )
 
 __all__ = [
-    "Csr",
-    "coo_to_csr",
-    "degrees_from_coo",
     "load_edge_list",
     "save_packed",
     "load_packed",

@@ -6,7 +6,8 @@ dense linear solve for small graphs (machine precision — used by the
 invariant property tests) and sparse power iteration for larger ones.
 
 Definitions. With row-stochastic transition matrix P (uniform over
-out-edges; dangling rows behave as a self-loop, see pprx.graph.csr) and
+out-edges; dangling rows behave as a self-loop — the convention shared
+by every engine, see pprx.ref.push) and
 teleport alpha:
 
     pi_s = alpha * e_s + (1 - alpha) * pi_s @ P

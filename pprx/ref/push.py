@@ -12,7 +12,9 @@ M := alpha (I - (1-alpha)P)^{-1}, rows M[v] = pi_v):
   forward (source s):  pi_s(t) = p(t) + sum_v r(v) * pi_v(t)   for all t
   reverse (target t):  pi_s(t) = p(s) + sum_v pi_s(v) * r(v)   for all s
 
-Push rules (self-loop convention for dangling vertices, see pprx.graph.csr):
+Push rules (dangling convention: an out-degree-0 vertex behaves as if it
+had a single self-loop — its personalized walk never leaves it, so
+pi_v = e_v; the oracle, engines and correction rules all share it):
 
   forward push at v, d = out-degree:
       rho = r[v]; r[v] = 0

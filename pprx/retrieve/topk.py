@@ -19,6 +19,18 @@ import jax.numpy as jnp
 
 from pprx.engine.state import PprState
 
+# Compile-time cliff guard (PERFORMANCE.md "top_k compile cliff"): XLA TPU
+# lowers a batched lax.top_k over a large trailing axis to a monolithic
+# variadic sort whose compile time grows super-linearly with the axis
+# length — the single-stage [512, 500k] head exceeded 19 MINUTES of
+# compile. Any direct batched top_k in this module must stay under this
+# many lanes; bigger shapes must take the chunked two-stage reduction
+# (each chunk's sort is fixed-size, so it compiles in seconds at any N).
+# 1-D multi-operand lax.sort (the engines' 2M-lane delivery sorts) does
+# NOT trip this cliff — the blow-up is specific to the batched comparator
+# network.
+TOPK_LANES_MAX = 65_536
+
 
 @functools.partial(
     jax.jit, static_argnames=("k", "exact", "chunk", "recall_target")
@@ -64,13 +76,23 @@ def exact_topk_rows(
     (trace-time helper for jitted callers, incl. the sharded local head)."""
     s, n = scores_t.shape
     if n <= 2 * chunk or k > chunk:
+        assert n <= TOPK_LANES_MAX, (
+            f"direct batched top_k over {n} lanes would hit the compile "
+            f"cliff (> TOPK_LANES_MAX={TOPK_LANES_MAX}); use a chunk size "
+            f">= k so the two-stage reduction applies"
+        )
         return jax.lax.top_k(scores_t, k)
     m = -(-n // chunk)
     pad = m * chunk - n
     xs = jnp.pad(scores_t, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     sc, ix = jax.lax.top_k(xs.reshape(s, m, chunk), k)  # [S, m, k]
     ids = ix + (jnp.arange(m, dtype=ix.dtype) * chunk)[None, :, None]
-    sc2, ij = jax.lax.top_k(sc.reshape(s, m * k), k)
+    if m * k > TOPK_LANES_MAX:
+        # very large N: the survivor row itself would hit the compile
+        # cliff — recurse (each level divides the lane count by ~chunk/k)
+        sc2, ij = exact_topk_rows(sc.reshape(s, m * k), k, chunk)
+    else:
+        sc2, ij = jax.lax.top_k(sc.reshape(s, m * k), k)
     ids2 = jnp.take_along_axis(ids.reshape(s, m * k), ij, axis=1)
     # pad positions (score -inf) can surface ids >= n when a row has fewer
     # than k finite entries; clamp so the helper is safe for arbitrary input

@@ -199,3 +199,36 @@ def test_wlp_per_device_memory_budget(proportional):
     assert int(rounds) < CFG.max_rounds
     p_ref, _, _ = reference(src, dst, n, queries, FORWARD)
     np.testing.assert_allclose(np.asarray(p)[:n], p_ref, atol=1e-11)
+
+
+def test_wlp_reverse_slide_memory_gap_pinned():
+    """The module-level proportionality claim covers the PUSH path; the
+    reverse-mode slide corrections are the documented exception — they
+    build an [n_pad, 2S] rowsum stack for ONE reduce-scatter per slide
+    (advisor round-3: pin the known gap so a silent regression or a silent
+    fix both show up here)."""
+    rng = np.random.default_rng(3)
+    n, m = 4000, 6000
+    src, dst = random_multigraph(rng, n, m)
+    queries = list(range(8))
+    mesh = make_row_mesh(8, 1)
+    eng = ShardedWlEngine(
+        mesh, n, len(queries), ecap=1536, bcap=8, cfg=CFG, mode=REVERSE,
+        dtype=jnp.float64, ccap=128, proportional=True,
+    )
+    p, r = eng.init_state(queries)
+    deg, egl, eog, eva, _, snap = eng.device_graph_wl(src, dst)
+    b = eng.bcap
+    pack = jax.device_put(
+        jnp.zeros(eng.n_rows * eng.pack_len, jnp.int32),
+        jax.sharding.NamedSharding(eng.mesh, eng.row_spec),
+    )
+    biggest = _max_float_temp_size(
+        lambda *a: eng._wl_slide(*a), p, r, deg, egl, eog, eva, snap, pack
+    )
+    s = len(queries)
+    full_state = eng.n_pad * s
+    # the [n_pad, 2S] stacked rowsum reduce-scatter is present...
+    assert biggest >= 2 * full_state, (biggest, full_state)
+    # ...and nothing larger hides in the program
+    assert biggest <= 2 * full_state, (biggest, full_state)
