@@ -59,3 +59,23 @@ def test_native_large_random_roundtrip(tmp_path):
 def test_native_missing_file():
     with pytest.raises(RuntimeError, match="native edge parse failed"):
         native_io.parse_edgelist_raw("/nonexistent/file.txt")
+
+
+def test_renumber_scatter_path_matches_unique_path():
+    """The O(M)-scatter first-seen renumber (dense raw-id gate) must agree
+    exactly with the sort-based np.unique path — including first-seen
+    ordering with duplicates and gaps (round-4 IO fast path)."""
+    from pprx.graph.io import renumber
+
+    rng = np.random.default_rng(5)
+    for trial in range(100):
+        m = int(rng.integers(1, 80))
+        hi = int(rng.integers(2, 10**5))
+        src = rng.integers(0, hi, m)
+        dst = rng.integers(0, hi, m)
+        a = renumber(src, dst)
+        off = 2**40  # push ids beyond the dense gate -> unique path
+        b = renumber(src + off, dst + off)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        assert a[2] == b[2]
