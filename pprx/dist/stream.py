@@ -4,7 +4,10 @@ Per-shard slot management lives on the host (it is pure bookkeeping over the
 stream the host already owns): each shard has ``ecap`` buffer slots and a
 free-slot stack; expiring edges free their slot, new edges claim one. The
 device only ever sees fixed-shape, trash-slot-padded batches — every slide
-step is one jitted sharded call (ShardedEngine.slide).
+step is one jitted sharded call, and for the wl engines the batch is ONE
+packed int32 transfer per slide carrying only non-derivable data (fresh
+edges + the slot schedule; see the slide builders in pprx.dist.wl — H2D
+bytes were the slide's wall-clock limiter on tunneled transports).
 
 All per-slide host work is vectorized NumPy (stable argsort grouping by
 owner shard + flat-index packing into the padded [K, b] batch rows); the

@@ -1,7 +1,13 @@
 """Phase-level timing of the SHARDED wl slide at mesh 1x1, headline shapes
 (VERDICT round-3 item 1: find the 2x between 600k sharded and 1.12M
 single-chip). Times standalone jitted replicas of each slide phase with
-hard_sync brackets (profiler unusable through the tunnel)."""
+hard_sync brackets (profiler unusable through the tunnel).
+
+NOTE: the dense-round / mutate replicas below reproduce the ROUND-3
+delivery layout (globally dst-sorted views, acc + psum_scatter). After the
+round-4 local-first layout change they remain valid as the historical
+diagnostic that drove the redesign, but no longer mirror the shipped
+dense round — see PERFORMANCE.md round 4 for the current numbers."""
 
 import functools
 import os
