@@ -158,8 +158,33 @@ class ShardedStreamDriver:
         self.step_idx = 0
         self.last_host_ms = 0.0
         self._row_sh = NamedSharding(mesh, eng.row_spec)
+        self.ring = self._device_ring() if (self._wl and mode == FORWARD) else None
 
     # -- helpers -------------------------------------------------------
+    def _device_ring(self):
+        """Build the forward wl slide's device slot-ring state (FIFO
+        occupancy ring + free stack per shard; pprx.dist.wl.WL_RING_KEYS)
+        from the host bookkeeping — the host simulation and the device
+        replay use the same push-freed/pop-top schedule, so the two stay
+        bit-identical. Also the checkpoint-resume path: a ring is fully
+        determined by pos_owner/pos_slot/free stacks, so checkpoints carry
+        no new fields (pprx/io/checkpoint.py)."""
+        eng = self.eng
+        K, ecap = eng.n_rows, eng.ecap
+        live = np.arange(self.head - self.scfg.window, self.head)
+        own, slots = self.pos_owner[live], self.pos_slot[live]
+        oring = np.full((K, ecap + 2), ecap, np.int32)
+        tl = np.zeros(K, np.int32)
+        fstack = np.full((K, ecap + 1), ecap, np.int32)
+        ftop = np.zeros(K, np.int32)
+        for k in range(K):
+            sl = slots[own == k]  # stream (= insertion) order
+            oring[k, : sl.size] = sl
+            tl[k] = sl.size  # < ecap + 1, no wrap possible
+            t = int(self._free_top[k])
+            fstack[k, :t] = self._free_stack[k][:t]
+            ftop[k] = t
+        return eng.make_ring(oring, np.zeros(K, np.int32), tl, fstack, ftop)
     def _rows_array(self, packed: np.ndarray) -> jnp.ndarray:
         return jax.device_put(jnp.asarray(packed), self._row_sh)
 
@@ -256,6 +281,9 @@ class ShardedStreamDriver:
                 Lp = eng.pack_len
                 pk = np.zeros((K, Lp), np.int32)
                 if self.mode == FORWARD:
+                    # slot schedule derives on device (FIFO ring + free
+                    # stack; see _device_ring) — only the fresh edges and
+                    # the two per-shard counts ship
                     pk[:, 0:b] = _pack(
                         flat_n, (src[fresh] - on * n_local).astype(np.int32),
                         K * b,
@@ -263,9 +291,8 @@ class ShardedStreamDriver:
                     pk[:, b:2 * b] = _pack(
                         flat_n, dstv[fresh].astype(np.int32), K * b
                     ).reshape(K, b)
-                    pk[:, 2 * b:3 * b] = clear_slots.reshape(K, b)
-                    pk[:, 3 * b:4 * b] = write_slots.reshape(K, b)
-                    pk[:, 4 * b] = cnt_w
+                    pk[:, 2 * b] = cnt_w
+                    pk[:, 2 * b + 1] = cnt_c
                 else:
                     pk[:, 0:b] = _pack(
                         flat_o, (src[expire] - oo * n_local).astype(np.int32),
@@ -316,10 +343,15 @@ class ShardedStreamDriver:
             if self._wl:
                 out = eng.slide_wl(
                     self.p, self.r, self.deg, self.egl, self.eog, self.eva,
-                    self.snap, A(pk.reshape(-1)),
+                    self.snap, A(pk.reshape(-1)), self.ring,
                 )
-                (self.p, self.r, rounds, pushes, epushes, wl,
-                 self.deg, self.egl, self.eog, self.eva, self.snap) = out
+                if self.mode == FORWARD:
+                    (self.p, self.r, rounds, pushes, epushes, wl,
+                     self.deg, self.egl, self.eog, self.eva, self.snap,
+                     self.ring) = out
+                else:
+                    (self.p, self.r, rounds, pushes, epushes, wl,
+                     self.deg, self.egl, self.eog, self.eva, self.snap) = out
                 wl_extra = {"wl_rounds": int(wl)}
                 self._fcnt_host += cnt_w
                 self._since_rb += 1

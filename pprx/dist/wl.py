@@ -122,6 +122,15 @@ WL_SNAP_KEYS = (
     "fr_gat", "fr_sca", "f_off", "f_nbr", "f_len", "fcnt",
 )
 
+# the forward slide's device-resident slot bookkeeping (round 4): a FIFO
+# occupancy ring (slot ids in insertion order; the window is FIFO so each
+# shard's expiring edges are exactly its oldest entries) + a LIFO free-slot
+# stack. Lets the packed slide ship only the fresh edges + two counts —
+# the clear/write slot schedules were HALF its H2D bytes. Reconstructible
+# from the host's pos_owner/pos_slot/free-stack bookkeeping (checkpoints
+# need no new fields; pprx/dist/stream.py builds it at init/load).
+WL_RING_KEYS = ("oring", "hd", "tl", "fstack", "ftop")
+
 
 def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     """Dedup-by-sort + owner-bucket of (global id, mass) pairs — the
@@ -1165,27 +1174,72 @@ class ShardedWlEngine(ShardedEngine):
             return idx.astype(jnp.int32)
 
         if mode == FORWARD:
-            # pack layout per shard: [ins_u(b), ins_w(b), clear(b),
-            # write(b), cnt_w, pad...] — PACK_F words
-            PACK_F = 4 * bcap_ + 8
+            # pack layout per shard: [ins_u(b), ins_w(b), cnt_w, cnt_c,
+            # pad...] — PACK_F words. The slot schedule (which slots the
+            # expiring edges free and which slots the fresh edges claim)
+            # is DERIVED ON DEVICE from a per-shard FIFO occupancy ring +
+            # LIFO free stack (round-4 open lever: clear/write slots were
+            # half the packed slide's H2D bytes). The sliding window is
+            # FIFO, so each shard's expiring edges are exactly its oldest
+            # cnt_c ring entries; the device replays the same
+            # push-freed/pop-top schedule the host simulates for overflow
+            # detection and checkpoints (bit-identical by construction).
+            PACK_F = 2 * bcap_ + 8
+            ecap_ = self.ecap
+            RCAP = ecap_ + 1  # FIFO ring modulus (live slots <= ecap)
+            ring_specs = {k: spec_row for k in WL_RING_KEYS}
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6))
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 5, 6, 8))
             @functools.partial(
                 smap,
                 in_specs=(spec_state, spec_state, spec_row, spec_row, spec_row,
-                          spec_row, snap_specs, spec_row),
+                          spec_row, snap_specs, spec_row, ring_specs),
                 out_specs=(spec_state, spec_state, rep, rep, rep, rep,
-                           spec_row, spec_row, spec_row, spec_row, snap_specs),
+                           spec_row, spec_row, spec_row, spec_row, snap_specs,
+                           ring_specs),
             )
-            def slide_fn(p, r, deg, egl, eog, eva, snap, pack):
+            def slide_fn(p, r, deg, egl, eog, eva, snap, pack, ring):
                 b = bcap_
                 ins_u = pack[:b]
                 ins_w = pack[b:2 * b]
-                clear_slots = pack[2 * b:3 * b]
-                write_slots = pack[3 * b:4 * b]
-                cnt_w = pack[4 * b]
+                cnt_w = pack[2 * b]
+                cnt_c = pack[2 * b + 1]
                 iota_b = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
                 ins_v = (iota_b < cnt_w).astype(jnp.int32)
+                trash = jnp.int32(ecap_)
+                hd = ring["hd"][0]
+                oring, fstack = ring["oring"], ring["fstack"]
+                ft = ring["ftop"][0]
+                # expiring slots: the shard's cnt_c oldest ring entries
+                pos_c = jax.lax.rem(hd + iota_b, jnp.int32(RCAP))
+                clear_slots = jnp.where(iota_b < cnt_c, oring[pos_c], trash)
+                hd2 = jax.lax.rem(hd + cnt_c, jnp.int32(RCAP))
+                # push freed slots (stack dump index ecap is out of every
+                # valid stack range: free + live == ecap per shard)
+                fstack = fstack.at[
+                    jnp.where(iota_b < cnt_c, ft + iota_b, jnp.int32(ecap_))
+                ].set(clear_slots)
+                ft = ft + cnt_c
+                # pop top-first for the fresh batch (entry i <-> ins_* i)
+                pos_w = jnp.clip(ft - 1 - iota_b, 0, ecap_)
+                write_slots = jnp.where(iota_b < cnt_w, fstack[pos_w], trash)
+                ft = ft - cnt_w
+                # append claimed slots at the ring tail (dump index RCAP)
+                tl = ring["tl"][0]
+                oring = oring.at[
+                    jnp.where(
+                        iota_b < cnt_w,
+                        jax.lax.rem(tl + iota_b, jnp.int32(RCAP)),
+                        jnp.int32(RCAP),
+                    )
+                ].set(write_slots)
+                tl2 = jax.lax.rem(tl + cnt_w, jnp.int32(RCAP))
+                ring2 = {
+                    "oring": oring, "fstack": fstack,
+                    "hd": jnp.reshape(hd2, (1,)),
+                    "tl": jnp.reshape(tl2, (1,)),
+                    "ftop": jnp.reshape(ft, (1,)),
+                }
                 del_u = egl[clear_slots]
                 del_w = eog[clear_slots]
                 del_v = eva[clear_slots]
@@ -1245,7 +1299,7 @@ class ShardedWlEngine(ShardedEngine):
                     *carry_seed,
                 )
                 return (p, r, rounds, pushes, epushes, wl,
-                        deg2, egl2, eog2, eva2, snap2)
+                        deg2, egl2, eog2, eva2, snap2, ring2)
 
             self.pack_len = PACK_F
         else:
@@ -1405,13 +1459,32 @@ class ShardedWlEngine(ShardedEngine):
             ok0 = 0
         return self._wl_push(p, r, deg, snap, cand0, jnp.asarray(ok0, jnp.int32))
 
-    def slide_wl(self, p, r, deg, egl, eog, eva, snap, pack):
+    def slide_wl(self, p, r, deg, egl, eog, eva, snap, pack, ring=None):
         """One window slide on the compact-frontier push loop. ``pack`` is
         the per-shard packed int32 batch (layout in the slide builders —
         self.pack_len words per shard): the ONE host->device transfer per
-        slide. Expiring edges, validity flags, and the initial candidate
-        list are derived on device."""
+        slide. Expiring edges, validity flags, the slot schedule (forward
+        mode, from ``ring``) and the initial candidate list are derived on
+        device. Forward mode returns ``ring2`` as the last element."""
+        if self.mode == FORWARD:
+            return self._wl_slide(p, r, deg, egl, eog, eva, snap, pack, ring)
         return self._wl_slide(p, r, deg, egl, eog, eva, snap, pack)
+
+    def make_ring(self, oring, hd, tl, fstack, ftop):
+        """Device slot-ring dict from host arrays: oring [K, ecap+2] (FIFO
+        slot ids, oldest first from hd; dump row at index ecap+1), hd/tl/
+        ftop [K], fstack [K, ecap+1] (free slots, LIFO; dump at ecap)."""
+        sh = NamedSharding(self.mesh, self.row_spec)
+
+        def put(a):
+            return jax.device_put(
+                jnp.asarray(np.asarray(a, np.int32).reshape(-1)), sh
+            )
+
+        return {
+            "oring": put(oring), "hd": put(hd), "tl": put(tl),
+            "fstack": put(fstack), "ftop": put(ftop),
+        }
 
     def cand0_rows(self, rows_per_shard: np.ndarray):
         """Host helper: pack per-shard LOCAL candidate row lists (each

@@ -384,4 +384,9 @@ def load_sharded_checkpoint(
         }
         drv._fcnt_host = np.asarray(z["fcnt_host"], np.int64)
         drv._since_rb = meta["wl_tuning"]["since_rb"]
+    # the forward wl slide's device slot ring is fully determined by the
+    # host bookkeeping restored above — rebuild rather than persist it
+    drv.ring = (
+        drv._device_ring() if (wl and drv.mode == 0) else None
+    )
     return drv
