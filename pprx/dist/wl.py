@@ -177,6 +177,41 @@ def sorted_bucket(ids, vals, K, n_local, n_pad, ccap, ccarry, dtype):
     gmass = jnp.zeros((L, s), dtype).at[sidx].add(
         vals_s, indices_are_sorted=True
     )
+    return _bucket_tail(gids, gmass, K, n_local, n_pad, ccap, ccarry, dtype)
+
+
+def sorted_bucket_rows(ids, rows, moving, K, n_local, n_pad, ccap, ccarry,
+                       dtype):
+    """sorted_bucket without the pre-sort mass materialization (round 4):
+    a push round's per-edge mass is moving[row] — a row of the compact
+    frontier's [w_i, S] moving array — so the sort carries the int ROW
+    INDEX instead of an [L, S] payload, and the group sum gathers moving
+    rows ONCE into the sorted segment scatter. Saves two full [L, S] HBM
+    passes per big round (the c1/c2 materialization and the vals[order]
+    re-gather). Invalid lanes (ids == n_pad) sort into the trailing group,
+    whose mass is never read — no masking needed."""
+    L = ids.shape[0]
+    s = moving.shape[1]
+    assert ccarry >= min(L, n_pad), (
+        f"sorted_bucket_rows carry contract violated: ccarry={ccarry} < "
+        f"min(L={L}, n_pad={n_pad})"
+    )
+    ids_s, rows_s = jax.lax.sort((ids, rows), num_keys=1, is_stable=True)
+    prev = jnp.concatenate([jnp.full(1, -1, ids_s.dtype), ids_s[:-1]])
+    seg_start = ids_s != prev
+    sidx = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    gids = jnp.full(L, n_pad, jnp.int32).at[sidx].set(
+        ids_s.astype(jnp.int32), indices_are_sorted=True
+    )
+    gmass = jnp.zeros((L, s), dtype).at[sidx].add(
+        moving[rows_s], indices_are_sorted=True
+    )
+    return _bucket_tail(gids, gmass, K, n_local, n_pad, ccap, ccarry, dtype)
+
+
+def _bucket_tail(gids, gmass, K, n_local, n_pad, ccap, ccarry, dtype):
+    L = gids.shape[0]
+    s = gmass.shape[1]
     starts = jnp.searchsorted(
         gids, (jnp.arange(K + 1, dtype=jnp.int32) * n_local)
     ).astype(jnp.int32)
@@ -558,29 +593,32 @@ class ShardedWlEngine(ShardedEngine):
                 len1 = jnp.where(anyact, srl[cc], 0)
                 t1, pos1, val1 = rld_expand(soff[cc], len1, e_i)
                 g1 = jnp.where(val1, snbr[jnp.clip(pos1, 0, sstride - 1)], n_pad)
-                c1 = moving[t1] * (g1 < n_pad).astype(dtype)[:, None]
                 len2 = jnp.where(anyact, f_len[cc], 0)
                 t2, pos2, val2 = rld_expand(f_off[cc], len2, g_i)
                 g2 = jnp.where(val2, f_nbr[jnp.clip(pos2, 0, fring)], n_pad)
-                c2 = moving[t2] * (g2 < n_pad).astype(dtype)[:, None]
                 ids = jnp.concatenate([g1, g2])  # [L], invalid = n_pad
-                vals = jnp.concatenate([c1, c2])
                 L = e_i + g_i
                 if L >= SORT_BUCKET_MIN:
                     # big rounds: sort-based dedup+bucketing — the
                     # winner-dedup's L-sized UNSORTED cbuf scatter costs
-                    # ~70 ns/row (PERFORMANCE.md round 3); sorted_bucket
-                    # replaces it (and the O(K*L) rank loop) with one sort
-                    # + sorted segment scatter
-                    send_ids, send_mass, cids, cmass, pend2 = sorted_bucket(
-                        ids, vals, K, n_local, n_pad, ccap,
-                        min(L, n_pad), dtype,
+                    # ~70 ns/row (PERFORMANCE.md round 3). The sort carries
+                    # the moving-row index, not an [L, S] payload — the
+                    # per-lane mass is never materialized pre-sort
+                    # (sorted_bucket_rows, round 4)
+                    send_ids, send_mass, cids, cmass, pend2 = (
+                        sorted_bucket_rows(
+                            ids, jnp.concatenate([t1, t2]), moving, K,
+                            n_local, n_pad, ccap, min(L, n_pad), dtype,
+                        )
                     )
                     carry = carry.at[
                         jnp.clip(cids, 0, carry.shape[0] - 1)
                     ].add(cmass * (cids < n_pad).astype(dtype)[:, None])
                     pend = pend + pend2
                 else:
+                    c1 = moving[t1] * (g1 < n_pad).astype(dtype)[:, None]
+                    c2 = moving[t2] * (g2 < n_pad).astype(dtype)[:, None]
+                    vals = jnp.concatenate([c1, c2])
                     lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
                     # winner-dedup over GLOBAL target ids
                     scratch = jnp.zeros(n_pad + 1, jnp.int32).at[ids].set(lane)
@@ -977,15 +1015,13 @@ class ShardedWlEngine(ShardedEngine):
                 len1 = jnp.where(anyact, srl[cc], 0)
                 t1, pos1, val1 = rld_expand(soff[cc], len1, e_i)
                 g1 = jnp.where(val1, snbr[jnp.clip(pos1, 0, sstride - 1)], n_pad)
-                c1 = moving[t1] * (g1 < n_pad).astype(dtype)[:, None]
                 len2 = jnp.where(anyact, f_len[cc], 0)
                 t2, pos2, val2 = rld_expand(f_off[cc], len2, g_i)
                 g2 = jnp.where(val2, f_nbr[jnp.clip(pos2, 0, fring)], n_pad)
-                c2 = moving[t2] * (g2 < n_pad).astype(dtype)[:, None]
                 ids = jnp.concatenate([g1, g2])
-                vals = jnp.concatenate([c1, c2])
-                send_ids, send_mass, cids2, cmass2, pend2 = sorted_bucket(
-                    ids, vals, K, n_local, n_pad, ccap, ccarry, dtype
+                send_ids, send_mass, cids2, cmass2, pend2 = sorted_bucket_rows(
+                    ids, jnp.concatenate([t1, t2]), moving, K, n_local,
+                    n_pad, ccap, ccarry, dtype
                 )
                 r, recv_ids = deliver(r, send_ids, send_mass)
                 empty = jnp.full(1, n_local, jnp.int32)
