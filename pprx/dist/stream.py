@@ -185,6 +185,7 @@ class ShardedStreamDriver:
             fstack[k, :t] = self._free_stack[k][:t]
             ftop[k] = t
         return eng.make_ring(oring, np.zeros(K, np.int32), tl, fstack, ftop)
+
     def _rows_array(self, packed: np.ndarray) -> jnp.ndarray:
         return jax.device_put(jnp.asarray(packed), self._row_sh)
 

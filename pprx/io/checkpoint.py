@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pprx.config import PprConfig, StreamConfig
+from pprx.engine.state import FORWARD
 from pprx.graph.stream import StreamDriver
 
 
@@ -352,7 +353,7 @@ def load_sharded_checkpoint(
     drv.eog = jax.device_put(jnp.asarray(z["eog"]), row_sh)
     drv.eva = jax.device_put(jnp.asarray(z["eva"]), row_sh)
     drv._gather_key = (
-        drv.stream_src if drv.mode == 0 else drv.stream_dst
+        drv.stream_src if drv.mode == FORWARD else drv.stream_dst
     ) // eng.n_local
     drv.pos_owner = np.asarray(z["pos_owner"])
     drv.pos_slot = np.asarray(z["pos_slot"])
@@ -387,6 +388,6 @@ def load_sharded_checkpoint(
     # the forward wl slide's device slot ring is fully determined by the
     # host bookkeeping restored above — rebuild rather than persist it
     drv.ring = (
-        drv._device_ring() if (wl and drv.mode == 0) else None
+        drv._device_ring() if (wl and drv.mode == FORWARD) else None
     )
     return drv
