@@ -247,7 +247,7 @@ class FastStreamDriver:
         )
         return stats
 
-    def refine(self, eps: float) -> PushStats:
+    def refine(self, eps: float, rounds: int | None = None) -> PushStats:
         """Push the CURRENT state to a tighter threshold (retrieval-time
         refinement, VERDICT round-2 item 3). The push invariant is preserved
         — refinement only moves more residual mass into the reserve — so the
@@ -255,10 +255,21 @@ class FastStreamDriver:
         cfg.eps while retrieval reads an eps-refined reserve. The top-k tail
         scores shrink like O(1/N) at fixed query mass while push error stays
         O(eps), so large-N retrieval needs eps_retrieve < eps_maintain to
-        hold precision@k (measured policy: PERFORMANCE.md round 3)."""
+        hold precision@k (measured policy: PERFORMANCE.md round 3).
+
+        rounds bounds the refinement to that many push rounds (round-4
+        verdict item 5: bounded-stall serving). An interrupted refinement
+        is safe at any point — every round preserves the invariant, and the
+        next slide's maintenance push restores cfg.eps freshness — so a
+        small per-slide budget spreads the refine cost across the stream
+        instead of stalling it seconds per event; stats.rounds < rounds
+        signals convergence to eps."""
         import dataclasses
 
-        cfg_r = dataclasses.replace(self.cfg, eps=eps)
+        cfg_r = dataclasses.replace(
+            self.cfg, eps=eps,
+            max_rounds=self.cfg.max_rounds if rounds is None else rounds,
+        )
         self.state, stats = _refine_wl2_jit(
             self.state, self.graph, cfg=cfg_r, tiers=self.tiers,
             segsum=self.segsum, bf16d=self.bf16d,

@@ -11,6 +11,7 @@ import pytest
 from pprx.config import PprConfig, StreamConfig
 from pprx.dist.mesh import make_row_mesh
 from pprx.dist.wl import ShardedWlEngine
+from pprx.eval.membound import max_float_temp_size
 from pprx.engine.push import push_to_convergence
 from pprx.engine.state import FORWARD, REVERSE, init_state
 from pprx.graph.dynamic import WindowGraph
@@ -113,50 +114,6 @@ def test_wlp_slide_matches_single_device(mode):
     np.testing.assert_array_equal(drv.host_deg()[:n], expect)
 
 
-def _max_float_temp_size(fn, *args):
-    """Largest float intermediate (in elements) anywhere in fn's jaxpr,
-    recursing through pjit/shard_map/while/cond sub-jaxprs. Inside
-    shard_map, shapes are PER-SHARD — exactly the per-device live-array
-    budget we want to bound."""
-    closed = jax.make_jaxpr(fn)(*args)
-    biggest = 0
-
-    def subjaxprs(eqn):
-        for pval in eqn.params.values():
-            for sub in jax.tree_util.tree_leaves(
-                pval, is_leaf=lambda x: hasattr(x, "jaxpr") or hasattr(x, "eqns")
-            ):
-                if hasattr(sub, "eqns"):
-                    yield sub
-                elif hasattr(sub, "jaxpr"):
-                    yield sub.jaxpr
-
-    def measure(jaxpr):
-        # inside shard_map: every aval is a PER-SHARD array
-        nonlocal biggest
-        for eqn in jaxpr.eqns:
-            for v in eqn.outvars:
-                aval = getattr(v, "aval", None)
-                if aval is not None and getattr(aval, "dtype", None) is not None:
-                    if np.issubdtype(aval.dtype, np.floating):
-                        biggest = max(biggest, int(aval.size))
-            for sub in subjaxprs(eqn):
-                measure(sub)
-
-    def find(jaxpr):
-        for eqn in jaxpr.eqns:
-            if "shard_map" in eqn.primitive.name:
-                for sub in subjaxprs(eqn):
-                    measure(sub)
-            else:
-                for sub in subjaxprs(eqn):
-                    find(sub)
-
-    find(closed.jaxpr)
-    assert biggest > 0, "no shard_map body found in jaxpr"
-    return biggest
-
-
 @pytest.mark.parametrize("proportional", [False, True])
 def test_wlp_per_device_memory_budget(proportional):
     """The VERDICT item-2 bar: a graph whose FULL [n_pad, S] state exceeds
@@ -180,7 +137,7 @@ def test_wlp_per_device_memory_budget(proportional):
         jax.sharding.NamedSharding(eng.mesh, eng.row_spec),
     )
     full_state = eng.n_pad * len(queries)
-    biggest = _max_float_temp_size(
+    biggest = max_float_temp_size(
         lambda *a: eng._wl_push(*a), p, r, deg, snap, cand0,
         jnp.zeros((), jnp.int32),
     )
@@ -223,7 +180,7 @@ def test_wlp_reverse_slide_memory_gap_pinned():
         jnp.zeros(eng.n_rows * eng.pack_len, jnp.int32),
         jax.sharding.NamedSharding(eng.mesh, eng.row_spec),
     )
-    biggest = _max_float_temp_size(
+    biggest = max_float_temp_size(
         lambda *a: eng._wl_slide(*a), p, r, deg, egl, eog, eva, snap, pack
     )
     s = len(queries)
