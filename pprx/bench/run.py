@@ -130,8 +130,15 @@ def config2_sliding_window(scale: int = 1, graph: str | None = None,
 
 
 def config3_reverse_dynamic(scale: int = 1, graph: str | None = None,
-                            w: int = 0, b: int = 0, steps: int = 10) -> dict:
-    """Reverse-push contribution vectors maintained under the stream."""
+                            w: int = 0, b: int = 0, steps: int = 10,
+                            s: int = 8) -> dict:
+    """Reverse-push contribution vectors maintained under the stream.
+
+    ``s`` co-batches that many reverse targets in one engine (the round-4
+    verdict item 3 lane-packing experiment: S=8 wastes 15/16 of every
+    128-lane tile, so S=128 costs nearly the same wall per slide while
+    maintaining 16x the contribution vectors — report per-target rates
+    alongside)."""
     import jax
 
     from pprx.config import PprConfig, StreamConfig
@@ -148,7 +155,7 @@ def config3_reverse_dynamic(scale: int = 1, graph: str | None = None,
     src, dst, n = _stream(graph, n, w + (steps + warm + 1) * b, seed=3)
     cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
     drv = FastStreamDriver(
-        src, dst, n, list(range(8)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE,
+        src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b), mode=REVERSE,
         rebuild_every=rebuild_every,
     )
     drv.seed()
@@ -159,7 +166,8 @@ def config3_reverse_dynamic(scale: int = 1, graph: str | None = None,
     stats = list(drv.run(steps))
     _sync(drv.state.r)
     rep = summarize(stats, time.perf_counter() - t0, edges_per_step=2 * b)
-    return {"config": 3, "n": n, "window": w, "slide": b, **rep.as_dict()}
+    return {"config": 3, "n": n, "window": w, "slide": b, "sources": s,
+            **rep.as_dict()}
 
 
 def config4_retrieval(scale: int = 1, s: int = 512, k: int = 100,
@@ -230,6 +238,7 @@ def config5_sharded(
     e_top: int = 0,
     fring: int = 0,
     bf16d: bool = False,
+    mode: str = "forward",
 ) -> dict:
     """Pod-scale row-sharded slide step (runs on however many devices exist;
     the 8-device CPU mesh in tests, real chips on a pod). Default engine is
@@ -244,6 +253,7 @@ def config5_sharded(
     from pprx.config import PprConfig, StreamConfig
     from pprx.dist.mesh import make_row_mesh
     from pprx.dist.stream import ShardedStreamDriver
+    from pprx.engine.state import FORWARD, REVERSE
 
     if n_rows == 0:
         n_rows = max(1, len(jax.devices()) // n_srcs)
@@ -260,6 +270,7 @@ def config5_sharded(
         src, dst, n, list(range(s)), cfg, StreamConfig(window=w, slide=b),
         mesh, engine=engine, ccap=ccap or None, e_top=e_top or None,
         fring=fring or None, bf16d=bf16d,
+        mode=REVERSE if mode == "reverse" else FORWARD,
     )
     drv.seed()
     for _ in drv.run(3):
@@ -273,6 +284,7 @@ def config5_sharded(
         "config": 5,
         "mesh": f"{n_rows}x{n_srcs}",
         "engine": engine,
+        "mode": mode,
         "n": n,
         "window": w,
         "slide": b,

@@ -68,7 +68,7 @@ from pprx.dist.sharded import (
 )
 from pprx.engine.segsum import SEGSUM_TR, pad_len, segsum_add, tile_offsets
 from pprx.engine.state import FORWARD
-from pprx.engine.wl2 import rld_expand
+from pprx.engine.wl2 import STATS_GUARD, rld_expand
 
 
 def make_wl_tiers(
@@ -106,14 +106,6 @@ def make_wl_tiers(
 # non-prop compact rounds switch to sort-based dedup+bucketing above this
 # many emission lanes (the winner-dedup cbuf scatter is unsorted, ~70ns/row)
 SORT_BUCKET_MIN = 65_536
-
-# dense-flush rounds skip the O(n_local*S) post-delivery rescan while the
-# current frontier's edge mass exceeds STATS_GUARD * e_top: the successor
-# round will be dense anyway (measured frontier decay ~1.45x/round at
-# headline shapes, so mass > 2*e_top now implies mass > e_top next round
-# with near-certainty). A misprediction costs one extra ~20 ms dense
-# round; the skip saves ~6 ms on each of the ~11 dense rounds per slide.
-STATS_GUARD = 2
 
 # the per-shard snapshot dict's keys — also the checkpoint field list
 # (pprx/io/checkpoint.py imports this; keep it the single source of truth).

@@ -51,6 +51,14 @@ from pprx.engine.segsum import SEGSUM_TR, pad_len, segsum_add, tile_offsets
 from pprx.engine.state import FORWARD, PprState, PushStats
 from pprx.graph.dynamic import WindowGraph
 
+# Scan/dense-flush rounds skip the O(N*S) post-delivery rescan while the
+# current frontier's edge mass exceeds STATS_GUARD * the ladder top: the
+# successor round will be another scan anyway (measured frontier decay
+# ~1.45x/round at headline shapes). A misprediction costs one extra scan
+# round; the skip saves the ~3-6 ms rescan on most mid-flush rounds.
+# Shared with the sharded engine (pprx.dist.wl).
+STATS_GUARD = 2
+
 
 @struct.dataclass
 class KillGraph:
@@ -570,14 +578,42 @@ def push_to_convergence_wl2(
             st2, na, ew = dense_round_sorted(
                 st, kg, cfg, segsum=segsum, bf16d=bf16d
             )
-            act2 = _active_mask(st2, kg.window, cfg)
-            any2 = jnp.any(act2[:n], axis=1)
-            cn2 = jnp.sum(any2, dtype=jnp.int32)
-            (idx2,) = jnp.nonzero(any2, size=scan_w, fill_value=n)
-            fed2 = jnp.sum(jnp.where(any2, row_len[:n], 0), dtype=jnp.int32)
-            fre2 = jnp.sum(jnp.where(any2, f_len[:n], 0), dtype=jnp.int32)
-            ok2 = cn2 <= scan_w
-            return st2, pad(idx2.astype(jnp.int32), scan_w), cn2, fed2, fre2, ok2, na, ew
+
+            # Post-delivery rescan skip (round 5, mirrors the sharded
+            # engine): while this round's frontier edge mass sits far
+            # above the ladder top, the successor round is another scan
+            # with near-certainty (measured decay ~1.45x/round), so the
+            # O(N*S) activity mask + the N-input nonzero are wasted work
+            # (~3.3 ms/round at headline shapes). A misprediction costs
+            # one extra scan round; correctness is untouched (the loop's
+            # work predicate is na, and forced scans still converge).
+            heavy = ew > jnp.asarray(
+                float(STATS_GUARD * (tiers[-1][1] + tiers[-1][2])),
+                jnp.float32,
+            )
+
+            def full_stats(_):
+                act2 = _active_mask(st2, kg.window, cfg)
+                any2 = jnp.any(act2[:n], axis=1)
+                cn2 = jnp.sum(any2, dtype=jnp.int32)
+                (idx2,) = jnp.nonzero(any2, size=scan_w, fill_value=n)
+                fed2 = jnp.sum(
+                    jnp.where(any2, row_len[:n], 0), dtype=jnp.int32
+                )
+                fre2 = jnp.sum(jnp.where(any2, f_len[:n], 0), dtype=jnp.int32)
+                return idx2.astype(jnp.int32), cn2, fed2, fre2, cn2 <= scan_w
+
+            def skip_stats(_):
+                big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
+                return (
+                    jnp.full(scan_w, n, jnp.int32), big, big, big,
+                    jnp.asarray(False),
+                )
+
+            idx2, cn2, fed2, fre2, ok2 = jax.lax.cond(
+                heavy, skip_stats, full_stats, None
+            )
+            return st2, pad(idx2, scan_w), cn2, fed2, fre2, ok2, na, ew
 
         st2, cand2, cn2, fed2, fre2, ok2, na, ew = jax.lax.cond(use_wl, wl, scan, st)
         not_wl = jnp.logical_not(use_wl).astype(jnp.int32)
