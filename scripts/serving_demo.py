@@ -163,6 +163,9 @@ for (RB, R) in INCS:
         stf = drv.refine(EPS_R, rounds=RB)
         budget_rounds.append(stf)
         if (i + 1) % R == 0:
+            # drain the queued slide+refine before timing the reads, or the
+            # first read absorbs the whole pipeline
+            hard_sync(drv.state.r)
             REPS_Q = 10
             t2 = time.perf_counter()
             for _ in range(REPS_Q):
