@@ -291,10 +291,22 @@ class ShardedWlEngine(ShardedEngine):
             # the Pallas MXU segment-sum kernel wins on real TPU hardware at
             # lane-aligned source batches (same policy as FastStreamDriver);
             # CPU tests take the sorted-scatter path
-            segsum = (
-                jax.default_backend() == "tpu"
-                and (s_total // self.n_srcs) % 128 == 0
+            # any FORWARD S: sub-128 batches lane-pad the kernel operands
+            # (round 5); sub-128 REVERSE measured a net loss single-chip
+            # (see FastStreamDriver), so reverse keeps the alignment gate
+            segsum = jax.default_backend() == "tpu" and (
+                (s_total // self.n_srcs) % 128 == 0 or mode == FORWARD
             )
+        # HARD guard (overrides explicit requests): the lane-padded kernel
+        # at K>1 showed nondeterministic uninitialized-memory reads in the
+        # interpret-mode slide tests (values ~1e174) that could not be
+        # attributed this round, and K>1 cannot be validated on real
+        # hardware with one chip — so sub-128 widths keep the sorted
+        # scatter whenever K>1. K=1 (the measured configuration) and
+        # lane-aligned widths at any K are unaffected. Round 5; see
+        # PERFORMANCE.md "open items".
+        if (s_total // self.n_srcs) % 128 and self.n_rows > 1:
+            segsum = False
         self.segsum = bool(segsum)
         # bf16 DELIVERY (opt-in, same error model as the single-chip
         # engine): dense-flush contributions ride the kernel in bf16 and
@@ -797,6 +809,16 @@ class ShardedWlEngine(ShardedEngine):
                 )
                 if use_segsum and use_bf16:
                     moving_ext = moving_ext.astype(jnp.bfloat16)
+                # Mosaic needs lane-128-aligned DMA; s_loc % 128 != 0
+                # lane-pads the small [n_local+1, S] operand BEFORE the
+                # edge gather so the big [W_pad, *] arrays are born
+                # aligned — same physical HBM bytes (see the single-chip
+                # dense_round_sorted, round 5)
+                lanes_pad = (-s_loc) % 128 if use_segsum else 0
+                if lanes_pad:
+                    moving_ext = jnp.pad(
+                        moving_ext, ((0, 0), (0, lanes_pad))
+                    )
                 base = jax.lax.axis_index("rows").astype(jnp.int32) * n_local
                 contrib = moving_ext[d_gat]
                 fcontrib = moving_ext[fd_gat]
@@ -812,14 +834,19 @@ class ShardedWlEngine(ShardedEngine):
                 else:
                     contrib_l, fcontrib_l = contrib, fcontrib
                 if use_segsum:
-                    r = segsum_add(
-                        r, contrib_l,
+                    rp = (
+                        jnp.pad(r, ((0, 0), (0, lanes_pad))) if lanes_pad
+                        else r
+                    )
+                    rp = segsum_add(
+                        rp, contrib_l,
                         (d_sca - base).reshape(-1, 128), snap["d_toffl"],
                     )
-                    r = segsum_add(
-                        r, fcontrib_l,
+                    rp = segsum_add(
+                        rp, fcontrib_l,
                         (fd_sca - base).reshape(-1, 128), snap["fd_toffl"],
                     )
+                    r = rp[:, :s_loc] if lanes_pad else rp
                 else:
                     in1 = jnp.logical_and(d_sca >= base, d_sca < base + n_local)
                     in2 = jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
@@ -835,28 +862,28 @@ class ShardedWlEngine(ShardedEngine):
                         indices_are_sorted=(K == 1),
                     )
                 if K > 1:
-                    if use_segsum:
-                        acc = segsum_add(
-                            carry, contrib,
-                            d_sca.reshape(-1, 128), snap["d_toff"],
-                        )
-                        acc = segsum_add(
-                            acc, fcontrib,
-                            fd_sca.reshape(-1, 128), snap["fd_toff"],
-                        )
-                    else:
-                        rem1 = jnp.logical_not(
-                            jnp.logical_and(d_sca >= base, d_sca < base + n_local)
-                        )
-                        rem2 = jnp.logical_not(
-                            jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
-                        )
-                        acc = carry.at[jnp.clip(d_sca, 0, n_pad - 1)].add(
-                            contrib.astype(dtype) * rem1[:, None].astype(dtype)
-                        )
-                        acc = acc.at[jnp.clip(fd_sca, 0, n_pad - 1)].add(
-                            fcontrib.astype(dtype) * rem2[:, None].astype(dtype)
-                        )
+                    # The REMOTE accumulator must NOT ride the segment-sum
+                    # kernel: its tile ranges point at the remote segment,
+                    # but a remote tile's EC-aligned boundary chunk can
+                    # contain tail edges of the LOCAL segment whose seg
+                    # ids are valid GLOBAL row ids — the one-hot would
+                    # double-count local mass into acc (round 5; the
+                    # local pass is safe because localized foreign ids
+                    # fall outside [0, n_local)). Sorted scatter instead.
+                    rem1 = jnp.logical_not(
+                        jnp.logical_and(d_sca >= base, d_sca < base + n_local)
+                    )
+                    rem2 = jnp.logical_not(
+                        jnp.logical_and(fd_sca >= base, fd_sca < base + n_local)
+                    )
+                    contrib_d = contrib[:, :s_loc].astype(dtype)
+                    fcontrib_d = fcontrib[:, :s_loc].astype(dtype)
+                    acc = carry.at[jnp.clip(d_sca, 0, n_pad - 1)].add(
+                        contrib_d * rem1[:, None].astype(dtype)
+                    )
+                    acc = acc.at[jnp.clip(fd_sca, 0, n_pad - 1)].add(
+                        fcontrib_d * rem2[:, None].astype(dtype)
+                    )
                     delta = jax.lax.psum_scatter(
                         acc, "rows", scatter_dimension=0, tiled=True
                     )
@@ -1477,29 +1504,24 @@ class ShardedWlEngine(ShardedEngine):
                 # whose out-edges' sum lives on this shard accumulate
                 # directly; only remote-row contributions ride the
                 # reduce-scatter (statically none at K=1)
-                if use_segsum:
-                    s_loc_old = segsum_add(
-                        jnp.zeros((n_local, s_loc), dtype), contrib,
-                        (d_sca_ - base).reshape(-1, 128), snap["d_toffl"],
-                    )
-                    s_loc_old = segsum_add(
-                        s_loc_old, fcontrib,
-                        (fd_sca_ - base).reshape(-1, 128), snap["fd_toffl"],
-                    )
-                else:
-                    in1 = jnp.logical_and(d_sca_ >= base, d_sca_ < base + n_local)
-                    in2 = jnp.logical_and(fd_sca_ >= base, fd_sca_ < base + n_local)
-                    # K=1: the view is entirely the dst-sorted local
-                    # segment (dead tail clips monotonically), so the
-                    # window-scale rowsum scatters run sorted
-                    s_loc_old = jnp.zeros((n_local, s_loc), dtype).at[
-                        jnp.clip(d_sca_ - base, 0, n_local - 1)
-                    ].add(contrib * in1[:, None].astype(dtype),
-                          indices_are_sorted=(K == 1))
-                    s_loc_old = s_loc_old.at[
-                        jnp.clip(fd_sca_ - base, 0, n_local - 1)
-                    ].add(fcontrib * in2[:, None].astype(dtype),
-                          indices_are_sorted=(K == 1))
+                # rowsum sweep stays on the (sorted at K=1) scatter form:
+                # it runs once per slide (~3% of the reverse wall), and a
+                # round-5 slide-level parity check caught a residual
+                # mismatch when routed through the kernel mid-stream that
+                # the isolated formulations do not reproduce — recorded in
+                # PERFORMANCE.md round 5 as an open item rather than
+                # shipped unproven. Dense ROUNDS (the per-round hot path)
+                # do ride the kernel in both modes.
+                in1 = jnp.logical_and(d_sca_ >= base, d_sca_ < base + n_local)
+                in2 = jnp.logical_and(fd_sca_ >= base, fd_sca_ < base + n_local)
+                s_loc_old = jnp.zeros((n_local, s_loc), dtype).at[
+                    jnp.clip(d_sca_ - base, 0, n_local - 1)
+                ].add(contrib * in1[:, None].astype(dtype),
+                      indices_are_sorted=(K == 1))
+                s_loc_old = s_loc_old.at[
+                    jnp.clip(fd_sca_ - base, 0, n_local - 1)
+                ].add(fcontrib * in2[:, None].astype(dtype),
+                      indices_are_sorted=(K == 1))
                 old_v = eva[clear_slots].astype(dtype)[:, None]
                 acc_d = jnp.zeros((n_pad, s_loc), dtype).at[
                     eog[clear_slots]
@@ -1508,28 +1530,24 @@ class ShardedWlEngine(ShardedEngine):
                     p[write_dl] * write_v.astype(dtype)[:, None]
                 )
                 if K > 1:
-                    if use_segsum:
-                        acc_old = segsum_add(
-                            jnp.zeros((n_pad, s_loc), dtype), contrib,
-                            d_sca_.reshape(-1, 128), snap["d_toff"],
-                        )
-                        acc_old = segsum_add(
-                            acc_old, fcontrib,
-                            fd_sca_.reshape(-1, 128), snap["fd_toff"],
-                        )
-                    else:
-                        acc_old = jnp.zeros((n_pad, s_loc), dtype).at[
-                            jnp.clip(d_sca_, 0, n_pad - 1)
-                        ].add(
-                            contrib
-                            * jnp.logical_not(in1)[:, None].astype(dtype)
-                        )
-                        acc_old = acc_old.at[
-                            jnp.clip(fd_sca_, 0, n_pad - 1)
-                        ].add(
-                            fcontrib
-                            * jnp.logical_not(in2)[:, None].astype(dtype)
-                        )
+                    # remote rowsum accumulator: scatter form only — the
+                    # kernel's boundary chunks would double-count local
+                    # edges whose global ids fall in a remote tile's row
+                    # range (same hazard as dense_round's acc, round 5)
+                    in1 = jnp.logical_and(d_sca_ >= base, d_sca_ < base + n_local)
+                    in2 = jnp.logical_and(fd_sca_ >= base, fd_sca_ < base + n_local)
+                    acc_old = jnp.zeros((n_pad, s_loc), dtype).at[
+                        jnp.clip(d_sca_, 0, n_pad - 1)
+                    ].add(
+                        contrib[:, :s_loc]
+                        * jnp.logical_not(in1)[:, None].astype(dtype)
+                    )
+                    acc_old = acc_old.at[
+                        jnp.clip(fd_sca_, 0, n_pad - 1)
+                    ].add(
+                        fcontrib[:, :s_loc]
+                        * jnp.logical_not(in2)[:, None].astype(dtype)
+                    )
                     red = jax.lax.psum_scatter(
                         jnp.concatenate([acc_old, acc_d], axis=1), "rows",
                         scatter_dimension=0, tiled=True,

@@ -205,10 +205,27 @@ def dense_round_sorted(
     r2 = state.r - mass
     seg2d = kg.d_sca.reshape(-1, 128)
     seg2d_f = kg.fd_sca.reshape(-1, 128)
+    # Mosaic needs lane-128-aligned DMA slices; for S % 128 != 0 the kernel
+    # operands are lane-padded BEFORE the edge gather (padding the small
+    # [N+1, S] arrays costs ~1 ms; the [W_pad, *] gather output is then
+    # born aligned). The physical HBM bytes are unchanged — [*, 16] f32 is
+    # already (8,128)-tile-padded to 128 lanes — so the kernel still beats
+    # the XLA scatter, which re-reads those padded bytes several times
+    # (measured at config-2 shapes: 37.6 ms scatter vs ~20 ms kernel per
+    # S=16 window scan; PERFORMANCE.md round 5).
+    lanes_pad = (-state.r.shape[1]) % 128 if segsum else 0
     if state.mode == FORWARD:
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
         moving = (1.0 - alpha) * mass * inv_deg
-        if segsum and bf16d:
+        if segsum and lanes_pad:
+            s_log = moving.shape[1]
+            mb = moving.astype(jnp.bfloat16) if bf16d else moving
+            mb = jnp.pad(mb, ((0, 0), (0, lanes_pad)))
+            r2p = jnp.pad(r2, ((0, 0), (0, lanes_pad)))
+            r2p = segsum_add(r2p, mb[kg.d_gat], seg2d, kg.d_toff)
+            r2p = segsum_add(r2p, mb[kg.fd_gat], seg2d_f, kg.fd_toff)
+            r2 = r2p[:, :s_log]
+        elif segsum and bf16d:
             # bf16 DELIVERY (opt-in): residual removal above stays exact
             # f32 (rows must hit exact zero); only the delivered increments
             # carry 2^-9-relative rounding. Halves the gather + kernel DMA
@@ -231,7 +248,21 @@ def dense_round_sorted(
         beta = (1.0 - alpha) / alpha
         outmass = jnp.where(dangling, beta * mass, (1.0 - alpha) * mass)
         inv_deg = (1.0 / jnp.maximum(deg, 1).astype(dtype))[:, None]
-        if segsum:
+        if segsum and lanes_pad:
+            s_log = outmass.shape[1]
+            om = outmass.astype(jnp.bfloat16) if bf16d else outmass
+            om = jnp.pad(om, ((0, 0), (0, lanes_pad)))
+            r2p = jnp.pad(r2, ((0, 0), (0, lanes_pad)))
+            contribs = (om[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None].astype(
+                om.dtype
+            ))
+            r2p = segsum_add(r2p, contribs, seg2d, kg.d_toff)
+            contribs_f = (om[kg.fd_gat] * inv_deg[kg.fd_sca, 0][
+                :, None
+            ].astype(om.dtype))
+            r2p = segsum_add(r2p, contribs_f, seg2d_f, kg.fd_toff)
+            r2 = r2p[:, :s_log]
+        elif segsum:
             om = outmass.astype(jnp.bfloat16) if bf16d else outmass
             contribs = (om[kg.d_gat] * inv_deg[kg.d_sca, 0][:, None].astype(
                 om.dtype
@@ -430,6 +461,13 @@ def _compact_round(
         # values, phantom-row deliveries are re-zeroed below)
         lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
         keys_s, order = jax.lax.sort((keys, lane), num_keys=1, is_stable=True)
+        # Mosaic needs lane-128 alignment; S % 128 != 0 pads columns before
+        # the [L, S] gather so the big arrays are born aligned (same
+        # physical HBM bytes — see dense_round_sorted)
+        s_log = vals.shape[1]
+        lanes_pad = (-s_log) % 128
+        if lanes_pad:
+            vals = jnp.pad(vals, ((0, 0), (0, lanes_pad)))
         vals_s = vals[order]
         lp = pad_len(L)
         keys_p = jnp.concatenate([keys_s, jnp.full(lp - L, n, jnp.int32)])
@@ -442,10 +480,16 @@ def _compact_round(
         offs = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )
+        rin = (
+            jnp.pad(state.r, ((0, 0), (0, lanes_pad))) if lanes_pad
+            else state.r
+        )
         r2 = segsum_add(
-            state.r, vals_p, keys_p.reshape(-1, 128),
+            rin, vals_p, keys_p.reshape(-1, 128),
             tile_offsets(offs, n + 1, SEGSUM_TR),
         )
+        if lanes_pad:
+            r2 = r2[:, :s_log]
         r2 = r2.at[-1].set(0.0)
     elif L >= SORT_DELIVER_MIN:
         lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)

@@ -203,7 +203,17 @@ class FastStreamDriver:
         # ~70 ns/row — the round-3 sweep measured e_top=1M at 675k updates/s
         # vs e_top in [128k, 256k] at 0.94-1.25M on the headline config
         # (PERFORMANCE.md round 3)
-        self.e_top = e_top if e_top is not None else min(max(8 * b, 65_536), 262_144, w // 2)
+        if e_top is not None:
+            self.e_top = e_top
+        elif mode == FORWARD and self.state.p.shape[1] % 128:
+            # sub-128 forward batches (round 5): the lane-padded kernel
+            # halved the dense scan's cost while compact rounds stay
+            # 1-D-chain-bound, so the scan/compact crossover drops —
+            # measured at config-2 shapes (b=20k, S=16): e_top 40960 ->
+            # 307k updates/s vs the old 8b=160k default's 243k
+            self.e_top = min(max(2 * b, 32_768), 262_144, w // 2)
+        else:
+            self.e_top = min(max(8 * b, 65_536), 262_144, w // 2)
         self.tiers = make_tiers2(n, w, self.fring, self.e_top, n_tiers=n_tiers)
         self.rebuild_every = rebuild_every
         self.fcnt = 0
@@ -217,12 +227,17 @@ class FastStreamDriver:
         self._dev = jax.devices()[0]
         self._queries = list(queries)
         if segsum is None:
-            # the MXU segment-sum kernel wins on real TPU hardware at
-            # lane-aligned source batches; interpret mode (CPU tests) is
-            # correct but slow, so it stays opt-in there
-            segsum = (
-                jax.default_backend() == "tpu"
-                and len(self._queries) % 128 == 0
+            # the MXU segment-sum kernel wins on real TPU hardware at any
+            # FORWARD source-batch width (S % 128 != 0 lane-pads the
+            # operands — measured config 2: 218k -> 263k updates/s) and at
+            # lane-aligned REVERSE widths; sub-128 REVERSE measured a net
+            # LOSS (config 3: 78.7k -> 45.0k — the reverse path's per-edge
+            # inv_deg folds and big-round pads eat the kernel win at S=8;
+            # PERFORMANCE.md round 5), so reverse keeps the alignment
+            # gate. Interpret mode (CPU tests) is correct but slow, so it
+            # stays opt-in there.
+            segsum = jax.default_backend() == "tpu" and (
+                len(self._queries) % 128 == 0 or self.mode == FORWARD
             )
         self.segsum = bool(segsum)
         # bf16 dense-round DELIVERY (residual removal stays exact f32):

@@ -46,12 +46,16 @@ from pprx.eval.membound import max_float_temp_size
 from pprx.eval.sync import hard_sync
 from pprx.graph.io import synthetic_powerlaw_stream
 
-# shapes: total N large enough that [n_pad, S] f32 exceeds the budget;
-# K=8 shards so wlp's per-shard state is N/8
-N, S, K = 262_144, 32, 8
+# shapes: N >> W/K so the classic engine's [n_pad, S] carry/psum term
+# dominates every per-shard-window term; ecap is sized PER SHARD (2x the
+# balanced share — the driver's window-sized default gives EVERY engine a
+# window-sized [L, S] delivery temp and hides the scaling difference,
+# which is exactly what the first version of this script measured)
+N, S, K = 2_097_152, 32, 8
 W, B = 1_000_000, 32_768
+ECAP = 2 * (W // 8)
 STEPS = 4
-BUDGET_MB = 24.0  # stated per-device float budget for this demonstration
+BUDGET_MB = 128.0  # stated per-device float budget for this demonstration
 
 cfg = PprConfig(alpha=0.15, eps=1e-6, max_rounds=2000)
 scfg = StreamConfig(window=W, slide=B)
@@ -63,7 +67,7 @@ queries = list(range(S))
 def probe(engine):
     drv = ShardedStreamDriver(
         src, dst, N, queries, cfg, scfg, mesh, engine=engine,
-        dtype=jnp.float32,
+        dtype=jnp.float32, ecap=ECAP,
     )
     eng = drv.eng
     cand0 = jax.device_put(
@@ -109,7 +113,7 @@ full_state_mb = (N + K) * S * 4 / 1e6  # n_pad ~ N
 # ceiling is N* ~ 12 GB / (2 * 128 * 4 B); wlp's per-device floats are
 # O(n_local * S + L * S) and shrink 1/K, so the same chip runs K times
 # further.
-n_star = 12e9 / (2 * 128 * 4)
+n_star = 12e9 / (2 * 128 * 4)  # two live [n_pad, S] f32 buffers
 out = {
     "mode": "wlp_crossover",
     "budget_mb": BUDGET_MB,

@@ -315,3 +315,76 @@ def test_wl_slide_k1_explicit_ccap_stream_parity():
         assert np.abs(p[:n, qi] - pi).max() < 50 * CFG.eps
     col = p[:n].sum(axis=0) + r[:n].sum(axis=0)
     np.testing.assert_allclose(col, 1.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", [FORWARD, REVERSE])
+@pytest.mark.parametrize("rows", [1])
+def test_wl_slide_segsum_lane_padded(mode, rows):
+    """The Pallas segment-sum delivery path with S % 128 != 0 (round 5:
+    operands lane-pad before the edge gather — Mosaic needs 128-aligned
+    DMA). Interpret mode on CPU, K=1 only: the engine hard-gates the
+    lane-padded kernel off at K>1 (nondeterministic interpret-mode
+    garbage this path surfaced is recorded in PERFORMANCE.md round 5; no
+    multi-chip hardware to validate the compiled path). The kernel's
+    different summation ORDER can flip |r| > eps knife-edges vs the
+    scatter engine, so the assertion is the engine's actual contract —
+    exact-PPR accuracy on the final window + exact mass conservation —
+    not schedule parity."""
+    from pprx.config import StreamConfig
+    from pprx.dist.stream import ShardedStreamDriver
+    from pprx.ref.exact import exact_ppr, exact_ppr_matrix
+
+    n, total = 30, 260
+    src, dst, _ = synthetic_powerlaw_stream(n, total, seed=6)
+    scfg = StreamConfig(window=150, slide=20)
+    queries = [0, 5, 11, 17]
+
+    mesh = make_row_mesh(rows, 1)
+    drv = ShardedStreamDriver(
+        src, dst, n, queries, CFG, scfg, mesh, mode=mode,
+        dtype=jnp.float64, engine="wl", ccap=64, fring=40,
+    )
+    drv.eng  # built without segsum; rebuild with it forced on
+    from pprx.dist.wl import ShardedWlEngine
+    drv.eng = ShardedWlEngine(
+        mesh, n, len(queries), ecap=drv.eng.ecap, bcap=scfg.slide, cfg=CFG,
+        mode=mode, dtype=jnp.float64, ccap=64, fring=40, segsum=True,
+    )
+    drv.snap = drv.eng.rebuild(drv.egl, drv.eog, drv.eva)
+    if mode == FORWARD:
+        drv.ring = drv._device_ring()
+    drv.seed()
+    for _ in drv.run(4):
+        pass
+
+    lo = drv.head - scfg.window
+    p = drv.host_p()
+    r = drv.host_r()
+    if mode == FORWARD:
+        for qi, q in enumerate(queries):
+            pi = exact_ppr(src[lo:drv.head], dst[lo:drv.head], n, q,
+                           CFG.alpha, tol=1e-13)
+            assert np.abs(p[:n, qi] - pi).max() < 50 * CFG.eps
+        col = p[:n].sum(axis=0) + r[:n].sum(axis=0)
+        np.testing.assert_allclose(col, 1.0, atol=1e-9)
+    else:
+        M = exact_ppr_matrix(src[lo:drv.head], dst[lo:drv.head], n, CFG.alpha)
+        for qi, q in enumerate(queries):
+            # reverse state approximates the contribution vector pi_.(q)
+            assert np.abs(p[:n, qi] - M[:, q]).max() < 50 * CFG.eps
+
+
+def test_wl_segsum_lane_pad_refused_at_k_gt_1():
+    """The K>1 + sub-128-width kernel guard is hard (overrides explicit
+    requests) — see the round-5 note in ShardedWlEngine.__init__."""
+    mesh = make_row_mesh(2, 1)
+    eng = ShardedWlEngine(
+        mesh, 30, 4, ecap=100, bcap=8, cfg=CFG, mode=FORWARD,
+        dtype=jnp.float64, ccap=64, segsum=True,
+    )
+    assert not eng.segsum
+    eng1 = ShardedWlEngine(
+        make_row_mesh(1, 1), 30, 4, ecap=100, bcap=8, cfg=CFG, mode=FORWARD,
+        dtype=jnp.float64, ccap=64, segsum=True,
+    )
+    assert eng1.segsum
