@@ -1427,6 +1427,22 @@ class ShardedWlEngine(ShardedEngine):
                     mark = mark.at[
                         jnp.where(recv_ids < n_local, recv_ids, n_local)
                     ].set(True)
+                elif K == 1:
+                    # no wire: correction deliveries scatter straight into
+                    # r (global ids == local ids), skipping the [n_pad, S]
+                    # acc build + identity reduce-scatter + full-state
+                    # delta pass (round 5)
+                    p, r, ids, vals, deg2 = forward_corrections_pairs(
+                        p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
+                        alpha_f, dtype, n_pad,
+                    )
+                    validc = ids < n_pad
+                    r = r.at[jnp.clip(ids, 0, n_local - 1)].add(
+                        vals * validc[:, None].astype(dtype)
+                    )
+                    mark = mark.at[
+                        jnp.where(validc, ids, n_local)
+                    ].set(True)
                 else:
                     p, r, acc, deg2 = forward_corrections(
                         p, r, deg, del_u, del_w, del_v, ins_u, ins_w, ins_v,
