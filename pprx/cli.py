@@ -7,6 +7,8 @@ cpu/gpu); here one ``python -m pprx.cli`` with subcommands:
   static    forward/reverse push on a static graph, report accuracy/timing
   stream    sliding-window dynamic maintenance, JSONL per-step records
   retrieve  multi-source batched top-k candidate generation
+  serve     bounded-stall serving loop: maintain + budgeted incremental
+            refinement + periodic top-k reads (round 5)
   bench     the headline updates/s benchmark (same as bench.py)
 
 Common flags mirror the reference's: --alpha (0.15), --eps, --window,
@@ -318,6 +320,106 @@ def cmd_retrieve(args):
     )
 
 
+def cmd_serve(args):
+    """Bounded-stall serving loop (round-5): maintain the stream at --eps,
+    spend up to --refine-budget push rounds per slide refining toward
+    --eps-retrieve (invariant-preserving at any interruption point), and
+    serve top-k reads from the CURRENT state every --serve-every slides —
+    no multi-second event-time refinement. --refine-budget 0 falls back to
+    the event mode (one full refine before each read). Measured operating
+    points: BASELINE.md round 5 (budget 6: 996k updates/s incl refine,
+    worst per-slide stall 429 ms, precision 0.989 at the headline
+    shapes)."""
+    from pprx.config import StreamConfig
+    from pprx.engine.state import FORWARD
+    from pprx.eval.sync import hard_sync
+    from pprx.graph.fast_stream import FastStreamDriver
+    from pprx.logging import JsonlLogger
+    from pprx.retrieve.topk import topk_candidates
+
+    if args.mode != "fwd":
+        raise SystemExit("serve: forward mode only (source-personalized top-k)")
+    src, dst, n = _load(args)
+    queries = [int(q) for q in args.queries.split(",")]
+    scfg = StreamConfig(window=args.window, slide=args.slide)
+    drv = FastStreamDriver(
+        src, dst, n, queries, _cfg(args), scfg, mode=FORWARD,
+        dtype=_dtype(args),
+    )
+    budget = args.refine_budget
+    with JsonlLogger(args.log) as log:
+        seed_stats = drv.seed()
+        log.log("seed", rounds=int(seed_stats.rounds))
+        if budget:
+            # ramp-up: converge to eps_retrieve once so steady slides only
+            # maintain it (a cold start pays this as ramp-up)
+            st = drv.refine(args.eps_retrieve)
+            log.log("ramp_refine", rounds=int(st.rounds))
+        steps = args.steps if args.steps is not None else drv.steps_available
+        slide_ms = []
+        retr_ms = []
+        served = 0
+        t0 = time.perf_counter()
+        for i in range(steps):
+            t1 = time.perf_counter()
+            ran = False
+            for _ in drv.run(1):
+                ran = True
+            if not ran:
+                break
+            if budget:
+                st = drv.refine(args.eps_retrieve, rounds=budget)
+                hard_sync(drv.state.r)
+                w = (time.perf_counter() - t1) * 1e3
+                log.log("slide", step=i, wall_ms=round(w, 1),
+                        refine_rounds=int(st.rounds))
+            else:
+                hard_sync(drv.state.r)
+                w = (time.perf_counter() - t1) * 1e3
+                log.log("slide", step=i, wall_ms=round(w, 1))
+            slide_ms.append(w)
+            if (i + 1) % args.serve_every == 0:
+                if not budget:
+                    t2 = time.perf_counter()
+                    st = drv.refine(args.eps_retrieve)
+                    hard_sync(drv.state.r)
+                    log.log("event_refine", step=i, rounds=int(st.rounds),
+                            wall_ms=round((time.perf_counter() - t2) * 1e3, 1))
+                t2 = time.perf_counter()
+                scores, ids = topk_candidates(drv.state.p, k=args.k, exact=False)
+                hard_sync(ids)
+                ms = (time.perf_counter() - t2) * 1e3
+                retr_ms.append(ms)
+                served += 1
+                rec = {"step": i, "k": args.k, "latency_ms": round(ms, 2),
+                       "batch": len(queries)}
+                if args.emit_ids:
+                    idh = np.asarray(ids)[: args.emit_ids]
+                    rec["ids"] = [[int(x) for x in row] for row in idh]
+                log.log("serve", **rec)
+        wall = time.perf_counter() - t0
+        done = len(slide_ms)
+        rep = {
+            "mode": "serve",
+            "steps": done,
+            "serve_events": served,
+            "updates_per_sec_incl_refine": round(2 * args.slide * done / wall, 1)
+            if done else 0.0,
+            "slide_ms_worst": round(max(slide_ms), 1) if slide_ms else None,
+            "slide_ms_mean": round(float(np.mean(slide_ms)), 1) if slide_ms else None,
+            "retrieval_ms_mean": round(float(np.mean(retr_ms)), 2) if retr_ms else None,
+            "refine_budget_rounds": budget,
+            "serve_every": args.serve_every,
+            "eps_maintain": args.eps,
+            "eps_retrieve": args.eps_retrieve,
+            "note": "per-slide walls include one hard device sync each "
+                    "(the stall-measurement protocol); on tunneled "
+                    "transports that adds the ~33 ms RTT",
+        }
+        log.log("summary", **rep)
+    print(json.dumps(rep))
+
+
 def cmd_bench(args):
     if args.config:
         from pprx.bench.run import run_config
@@ -407,6 +509,32 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--approx", action="store_true", help="approx_max_k head")
     p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser(
+        "serve",
+        help="bounded-stall serving: maintain + budgeted refine + top-k reads",
+    )
+    p.add_argument("graph")
+    _add_common(p)
+    p.add_argument("--window", type=int, required=True)
+    p.add_argument("--slide", type=int, required=True)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--eps-retrieve", type=float, default=5e-8)
+    p.add_argument(
+        "--refine-budget", type=int, default=6,
+        help="max refinement push rounds per slide (0 = full refine at "
+        "each serve event instead — the round-4 event mode)",
+    )
+    p.add_argument("--serve-every", type=int, default=4,
+                   help="serve a top-k batch every N slides")
+    p.add_argument(
+        "--emit-ids", type=int, default=0,
+        help="log top-k ids for the first N queries at each serve event",
+    )
+    p.add_argument("--log", type=str, default=None,
+                   help="JSONL log path (default stdout)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="headline updates/s benchmark")
     p.add_argument(

@@ -131,3 +131,34 @@ def test_retrieve_from_checkpoint(graph_npz, tmp_path, capsys):
     assert out["k"] == 5 and out["batch"] == 3
     assert out["refine_eps"] == 1e-7 and out["refine_rounds"] > 0
     assert len(out["top1"]) == 3
+
+
+def test_serve_incremental(graph_npz, capsys):
+    """Bounded-stall serving loop (round 5): budgeted per-slide refine +
+    periodic top-k reads, JSON summary with the stall metric."""
+    out = run_cli(
+        capsys,
+        ["serve", graph_npz, "--window", "300", "--slide", "25",
+         "--steps", "8", "--queries", "0,3,7", "--k", "5",
+         "--eps", "1e-6", "--eps-retrieve", "1e-7",
+         "--refine-budget", "4", "--serve-every", "4", "--emit-ids", "2"],
+    )
+    assert out["mode"] == "serve"
+    assert out["steps"] == 8
+    assert out["serve_events"] == 2
+    assert out["slide_ms_worst"] is not None
+    assert out["retrieval_ms_mean"] is not None
+    assert out["refine_budget_rounds"] == 4
+
+
+def test_serve_event_mode(graph_npz, capsys):
+    """--refine-budget 0: full refine at each serve event (the round-4
+    event protocol) still works through the same subcommand."""
+    out = run_cli(
+        capsys,
+        ["serve", graph_npz, "--window", "300", "--slide", "25",
+         "--steps", "4", "--queries", "0,3", "--k", "5",
+         "--refine-budget", "0", "--serve-every", "2"],
+    )
+    assert out["mode"] == "serve"
+    assert out["serve_events"] == 2
