@@ -205,13 +205,15 @@ class FastStreamDriver:
         # (PERFORMANCE.md round 3)
         if e_top is not None:
             self.e_top = e_top
-        elif mode == FORWARD and self.state.p.shape[1] % 128:
-            # sub-128 forward batches (round 5): the lane-padded kernel
-            # halved the dense scan's cost while compact rounds stay
-            # 1-D-chain-bound, so the scan/compact crossover drops —
-            # measured at config-2 shapes (b=20k, S=16): e_top 40960 ->
-            # 307k updates/s vs the old 8b=160k default's 243k
-            self.e_top = min(max(2 * b, 32_768), 262_144, w // 2)
+        elif self.state.p.shape[1] % 128:
+            # sub-128 batches (round 5): the scan/compact crossover sits
+            # much lower than at S=128 — in forward the lane-padded
+            # kernel halved the scan's cost while compact rounds stay
+            # 1-D-chain-bound (config-2 sweep: e_top 40960 -> 307k vs the
+            # old 8b=160k default's 243k), and in reverse the compact
+            # rounds are even MORE lane-wasted than the scans (config-3
+            # sweep: 40960 -> 120k vs 163840 -> 110k, same process)
+            self.e_top = min(max(2 * b, 40_960), 262_144, w // 2)
         else:
             self.e_top = min(max(8 * b, 65_536), 262_144, w // 2)
         self.tiers = make_tiers2(n, w, self.fring, self.e_top, n_tiers=n_tiers)
